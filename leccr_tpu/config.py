@@ -1,0 +1,276 @@
+"""Typed configuration for leccr_tpu.
+
+The reference config system is an untyped ruamel-YAML dict whose keys are
+partially ignored by the code (e.g. `use_swin`/`vision_config`/`text_encoder`
+are read from YAML but the towers are hard-coded, see
+reference models/xvlm.py:83-103 and SURVEY.md §5).  Here the tower choice is
+*real*: every field in this config is honored by the model builders.
+
+YAML files map 1:1 onto the dataclasses below; unknown keys are an error so
+configs can't silently rot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+
+def _build(cls, data: Dict[str, Any]):
+    """Construct a (possibly nested) dataclass from a dict, strictly."""
+    if data is None:
+        data = {}
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(names)
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for key, value in data.items():
+        f = names[key]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, str) and f.type in _DATACLASS_REGISTRY
+        ):
+            sub = _DATACLASS_REGISTRY[f.type] if isinstance(f.type, str) else f.type
+            kwargs[key] = _build(sub, value) if isinstance(value, dict) else value
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+@dataclass
+class VisionConfig:
+    """Vision tower. `kind` selects the real implementation.
+
+    - "clip_vit": OpenAI-CLIP-architecture ViT (reference clip/model.py:206-240,
+      340-346); `variant` picks the published size. The reference hard-codes
+      ViT-B/32 at 384x384 with interpolated position embeddings
+      (clip/model.py:414-419).
+    - "temporal": self-attention encoder over precomputed per-frame features
+      (reference models/video_model_retrieval_caption.py:27-34).
+    """
+
+    kind: str = "clip_vit"  # clip_vit | temporal
+    variant: str = "ViT-B/32"  # ViT-B/32 | ViT-B/16 | ViT-L/14 (clip_vit only)
+    image_res: int = 384
+    # temporal tower (video): input per-frame feature dim and depth
+    frame_feat_dim: int = 4096
+    num_layers: int = 1
+    num_heads: int = 8
+    max_frames: int = 32
+    # test-size overrides (0 = use variant defaults)
+    width: int = 0
+    depth: int = 0
+
+    @property
+    def patch_size(self) -> int:
+        return int(self.variant.split("/")[-1]) if "/" in self.variant else 32
+
+
+@dataclass
+class TextConfig:
+    """Multilingual text tower (BERT-family encoder).
+
+    The reference hard-codes `bert-base-multilingual-cased`
+    (models/xvlm.py:91-103). We keep the same architecture family but the
+    size is configurable (for tests and for XLM-R-large scale-up).
+    """
+
+    kind: str = "bert"  # bert | xlmr (same arch; different vocab/tokenizer)
+    vocab_size: int = 119547  # bert-base-multilingual-cased
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+
+
+@dataclass
+class ModelConfig:
+    """LECCR retrieval head (reference models/model_retrieval_caption.py)."""
+
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    embed_dim: int = 256
+    temp: float = 0.07
+    caption_encoder_name: str = "mbert"  # mbert (shared w/ text tower) | clip
+    num_queries: int = 4
+    caption_ca_layer: int = 3
+    caption_interaction_layer: int = 2
+    weight_caption_loss: float = 0.01
+    weight_reg_loss: float = 0.01
+    weight_dstl_loss: float = 0.5
+    weight_cv_loss: float = 0.01
+    dstl_alpha: float = 0.8
+    dropout: float = 0.1
+    use_one_cl_proj_only: bool = False
+    # compute dtype for the towers; params & loss math stay fp32
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class DataConfig:
+    """Datasets in the reference layout (SURVEY.md §2 #10-13)."""
+
+    dataset: str = "multi30k"  # multi30k | mscoco | video | synthetic
+    root_dir: str = ""
+    train_file: List[str] = field(default_factory=list)
+    val_file: Dict[str, str] = field(default_factory=dict)
+    test_file: Dict[str, str] = field(default_factory=dict)
+    test_trans_file: Optional[str] = None
+    image_root: str = ""
+    generated_caption_dir: str = ""
+    generated_caption_type: str = "caption"  # caption | feats
+    max_words: int = 30
+    max_tokens: int = 200
+    # static-shape buckets for tokenized text (avoids per-step recompiles;
+    # reference pads to `longest` per step, image_Retrieval_caption.py:47)
+    token_buckets: List[int] = field(default_factory=lambda: [32, 64, 128])
+    num_workers: int = 4
+    # tokenizer vocab files (offline; no network)
+    text_vocab: str = ""  # WordPiece vocab.txt for the text tower
+    clip_bpe_vocab: str = ""  # CLIP BPE merge file (optional, caption_encoder=clip)
+    lowercase: bool = False  # mBERT-cased => False
+    # synthetic dataset knobs (tests/bench)
+    synthetic_size: int = 128
+    synthetic_eval_images: int = 64
+    synthetic_captions_per_image: int = 5
+    seed: int = 42
+
+
+@dataclass
+class OptimConfig:
+    """AdamW + 4 param groups (reference optim.py:8-65)."""
+
+    lr: float = 1e-5
+    weight_decay: float = 0.01
+    lr_mult: float = 2.0  # multiplier for from-scratch ("init") params
+    betas: List[float] = field(default_factory=lambda: [0.9, 0.98])
+    eps: float = 1e-8
+
+
+@dataclass
+class SchedConfig:
+    """Linear warmup → linear decay, stepped per optimizer step
+    (reference scheduler.py:4-28)."""
+
+    epochs: int = 50
+    num_warmup_steps: float = 0.1  # int steps or float fraction
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh layout. `data` is the batch axis (ICI); `model` shards tower
+    weights for large variants. Reference had DP only (SURVEY.md §2c)."""
+
+    data: int = -1  # -1 = all devices
+    model: int = 1
+    # global-negatives strategy for the contrastive losses:
+    #  "gather": all_gather features (reference AllGather semantics)
+    #  "ring":   ppermute ring, never materializes the full logits
+    negatives: str = "gather"
+    use_pallas: bool = True  # fused kernels on TPU; XLA fallback elsewhere
+
+
+@dataclass
+class TrainConfig:
+    batch_size_train: int = 128  # global batch
+    batch_size_test: int = 64
+    batch_size_test_text: int = 256
+    seed: int = 42
+    optimizer: OptimConfig = field(default_factory=OptimConfig)
+    schedular: SchedConfig = field(default_factory=SchedConfig)  # ref spelling
+    log_every: int = 50
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 2
+    resume: bool = False
+    grad_clip: float = 0.0  # 0 = off (reference has none)
+
+
+@dataclass
+class LECCRConfig:
+    task: str = "itr_caption"  # itr_caption | vtr_caption
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    output_dir: str = "output"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    def save(self, path: str) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text(self.to_json())
+
+    @staticmethod
+    def from_dict(data: Dict[str, Any]) -> "LECCRConfig":
+        return _build(LECCRConfig, data)
+
+
+_DATACLASS_REGISTRY = {
+    c.__name__: c
+    for c in (
+        VisionConfig,
+        TextConfig,
+        ModelConfig,
+        DataConfig,
+        OptimConfig,
+        SchedConfig,
+        ParallelConfig,
+        TrainConfig,
+        LECCRConfig,
+    )
+}
+
+
+def load_config(path: str) -> LECCRConfig:
+    """Load a YAML or JSON config file into a LECCRConfig."""
+    text = Path(path).read_text()
+    if path.endswith(".json"):
+        data = json.loads(text)
+    else:
+        import yaml
+
+        data = yaml.safe_load(text)
+    return LECCRConfig.from_dict(data)
+
+
+def tiny_test_config(**overrides: Any) -> LECCRConfig:
+    """A small config that runs fast on CPU — used across the test suite."""
+    cfg = LECCRConfig(
+        model=ModelConfig(
+            vision=VisionConfig(kind="clip_vit", variant="ViT-B/32", image_res=64,
+                                width=64, depth=2),
+            text=TextConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                            num_heads=4, intermediate_size=128,
+                            max_position_embeddings=64),
+            embed_dim=32,
+            num_queries=4,
+            caption_ca_layer=1,
+            caption_interaction_layer=1,
+            dtype="float32",
+        ),
+        data=DataConfig(dataset="synthetic", max_tokens=16,
+                        token_buckets=[16], synthetic_size=32,
+                        synthetic_eval_images=8),
+        train=TrainConfig(batch_size_train=8, batch_size_test=8,
+                          batch_size_test_text=16),
+    )
+    for key, value in overrides.items():
+        node = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = getattr(node, part)
+        setattr(node, parts[-1], value)
+    return cfg

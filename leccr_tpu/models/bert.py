@@ -1,0 +1,115 @@
+"""Multilingual BERT-family text tower in flax.
+
+Capability parity with the reference's text tower — HuggingFace
+`BertModel('bert-base-multilingual-cased')` used for both the multilingual
+texts and the MLLM captions (reference models/xvlm.py:91-103,237-238;
+models/model_retrieval_caption.py:33-36,55-63).  The same architecture covers
+XLM-R (different vocab/tokenizer, no token types beyond 1), so one module
+serves both `kind`s in TextConfig.
+
+Forward contract: __call__(input_ids, attention_mask) -> last_hidden_state
+[B, L, H], numerically matching HF BertModel's encoder output (post-LN
+blocks, exact-erf GELU, LN eps 1e-12).  Weight import from HF checkpoints is
+in leccr_tpu.models.convert.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from leccr_tpu.config import TextConfig
+
+
+class _BertSelfAttention(nn.Module):
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_mask, deterministic=True):
+        cfg = self.cfg
+        b, l, _ = hidden.shape
+        head_dim = cfg.hidden_size // cfg.num_heads
+        dense = lambda name: nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name)
+
+        def split(x):
+            return x.reshape(b, l, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = split(dense("query")(hidden))
+        k = split(dense("key")(hidden))
+        v = split(dense("value")(hidden))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(head_dim).astype(
+            self.dtype)
+        if attention_mask is not None:
+            bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
+            scores = scores + (bias * jnp.finfo(jnp.float32).min).astype(
+                scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, cfg.hidden_size)
+        # attention output projection + residual LN (HF BertSelfOutput)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(out)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="out_ln")(out + hidden)
+
+
+class _BertLayer(nn.Module):
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_mask, deterministic=True):
+        cfg = self.cfg
+        attn = _BertSelfAttention(cfg, self.dtype, name="attention")(
+            hidden, attention_mask, deterministic)
+        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                         name="intermediate")(attn)
+        inter = jax.nn.gelu(inter, approximate=False)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="output_ln")(out + attn)
+
+
+class BertEncoder(nn.Module):
+    """BERT encoder returning last_hidden_state [B, L, H]."""
+
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        token_type_ids: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        positions = jnp.arange(input_ids.shape[1])[None, :]
+
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                        name="word_embeddings")(input_ids)
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       dtype=self.dtype, name="position_embeddings")(positions)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
+                       name="token_type_embeddings")(token_type_ids)
+        hidden = word + pos + typ
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                              name="embeddings_ln")(hidden)
+        hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic)
+
+        for i in range(cfg.num_layers):
+            hidden = _BertLayer(cfg, self.dtype, name=f"layer_{i}")(
+                hidden, attention_mask, deterministic)
+        return hidden
