@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""Headline benchmark: full Multi30K-scale retrieval eval on one chip.
+
+Measures the end-to-end evaluation pass the reference times per epoch
+(image_Retrieval_caption.py:83-163): embed 5 000 texts (mBERT-base, padded to
+max_tokens=200 exactly like the reference eval tokenizer), embed 1 000 images
+(CLIP ViT-B/32 @ 384² + MLLM-caption branch), build the similarity scores and
+rank every row — and reports image-text pairs scored per second per chip.
+
+vs_baseline is the speedup over the PyTorch reference pipeline measured on
+this host's CPU with torch (same tensor shapes, same module math:
+HF BertModel + HF CLIPVisionModel + torch argsort eval), extrapolated
+linearly from a small calibration slice and cached in bench_baseline.json.
+That is the only reference execution available in this environment (the
+repo publishes no numbers — BASELINE.md); the >=10x north-star target is
+against a V100-class GPU, which is roughly 30-80x this CPU baseline, so
+treat vs_baseline/50 as a rough V100-relative figure.
+
+Output: ONE JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+N_IMG, N_TXT = 1000, 5000
+MAX_TOKENS = 200
+IMAGE_RES = 384
+TEXT_BS = 256
+IMG_BS = 50
+VOCAB = 119547
+
+
+def jax_eval_time(quick: bool = False) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from leccr_tpu.config import LECCRConfig
+    from leccr_tpu.data.images import normalize_images
+    from leccr_tpu.eval.retrieval import retrieval_ranks
+    from leccr_tpu.models.leccr import LECCRModel
+
+    n_img = 100 if quick else N_IMG
+    n_txt = 500 if quick else N_TXT
+
+    cfg = LECCRConfig()
+    cfg.model.vision.image_res = IMAGE_RES
+    cfg.model.dtype = "bfloat16"
+    model = LECCRModel(cfg.model)
+
+    rs = np.random.RandomState(0)
+    width = MAX_TOKENS
+    init_batch = {
+        "vision": rs.randint(0, 255, (IMG_BS, IMAGE_RES, IMAGE_RES, 3)
+                             ).astype(np.uint8),
+        "caption_ids": rs.randint(1, VOCAB, (IMG_BS, width)).astype(np.int32),
+        "caption_mask": np.ones((IMG_BS, width), np.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        {**init_batch,
+         "vision": normalize_images(jnp.asarray(init_batch["vision"])),
+         "text_ids_s": init_batch["caption_ids"],
+         "text_mask_s": init_batch["caption_mask"],
+         "text_ids_t": init_batch["caption_ids"],
+         "text_mask_t": init_batch["caption_mask"]})["params"]
+
+    embed_images = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method="embed_images"))
+    embed_texts = jax.jit(lambda p, i, m: model.apply(
+        {"params": p}, i, m, method="embed_texts"))
+
+    text_ids = rs.randint(1, VOCAB, (n_txt, width)).astype(np.int32)
+    text_mask = np.ones((n_txt, width), np.int32)
+    images = rs.randint(0, 255, (n_img, IMAGE_RES, IMAGE_RES, 3)
+                        ).astype(np.uint8)
+    cap_ids = rs.randint(1, VOCAB, (n_img, width)).astype(np.int32)
+    cap_mask = np.ones((n_img, width), np.int32)
+    txt2img = np.arange(n_txt) % n_img
+    img2txt = {i: [t for t in range(n_txt) if t % n_img == i][:8]
+               for i in range(n_img)}
+
+    # warmup compile
+    _ = embed_texts(params, text_ids[:TEXT_BS], text_mask[:TEXT_BS])
+    batch0 = {"vision": normalize_images(jnp.asarray(images[:IMG_BS])),
+              "caption_ids": cap_ids[:IMG_BS], "caption_mask": cap_mask[:IMG_BS]}
+    _ = jax.block_until_ready(embed_images(params, batch0))
+
+    t0 = time.time()
+    text_embeds = []
+    for i in range(0, n_txt, TEXT_BS):
+        ids = text_ids[i: i + TEXT_BS]
+        msk = text_mask[i: i + TEXT_BS]
+        if len(ids) < TEXT_BS:
+            pad = TEXT_BS - len(ids)
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            msk = np.pad(msk, ((0, pad), (0, 0)))
+        out = embed_texts(params, ids, msk)
+        text_embeds.append(np.asarray(out)[: min(TEXT_BS, n_txt - i)])
+    text_embeds = np.concatenate(text_embeds)
+
+    feats, slots = [], []
+    for i in range(0, n_img, IMG_BS):
+        batch = {
+            "vision": normalize_images(jnp.asarray(images[i: i + IMG_BS])),
+            "caption_ids": cap_ids[i: i + IMG_BS],
+            "caption_mask": cap_mask[i: i + IMG_BS],
+        }
+        out = embed_images(params, batch)
+        feats.append(np.asarray(out["feat"]))
+    img_feats = np.concatenate(feats)
+
+    i2t, t2i = retrieval_ranks(img_feats, text_embeds, txt2img, img2txt)
+    elapsed = time.time() - t0
+    assert i2t.shape == (n_img,) and t2i.shape == (n_txt,)
+    return elapsed
+
+
+def torch_baseline_time(calib_img: int = 20, calib_txt: int = 100) -> float:
+    """Reference-equivalent eval on torch CPU over a calibration slice,
+    extrapolated to full Multi30K scale.  Cached in bench_baseline.json."""
+    cache = Path(__file__).parent / "bench_baseline.json"
+    if cache.exists():
+        return json.loads(cache.read_text())["torch_cpu_eval_s"]
+
+    import torch
+    from transformers import BertConfig, BertModel, CLIPVisionConfig, \
+        CLIPVisionModel
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    bert = BertModel(BertConfig()).eval()
+    vis = CLIPVisionModel(CLIPVisionConfig(image_size=IMAGE_RES)).eval()
+
+    ids = torch.randint(1, 30000, (calib_txt, MAX_TOKENS))
+    mask = torch.ones(calib_txt, MAX_TOKENS, dtype=torch.long)
+    imgs = torch.randn(calib_img, 3, IMAGE_RES, IMAGE_RES)
+
+    with torch.no_grad():
+        t0 = time.time()
+        for i in range(0, calib_txt, 50):
+            bert(ids[i: i + 50], attention_mask=mask[i: i + 50])
+        txt_t = time.time() - t0
+        t0 = time.time()
+        for i in range(0, calib_img, 10):
+            vis(imgs[i: i + 10])
+            # caption branch: one more bert pass per image batch
+            bert(ids[: 10], attention_mask=mask[: 10])
+        img_t = time.time() - t0
+
+    # argsort ranking at full scale (the reference's host-side itm_eval)
+    scores = np.random.randn(N_IMG, N_TXT).astype(np.float32)
+    t0 = time.time()
+    for row in scores:
+        np.argsort(row)[::-1]
+    for row in scores.T:
+        np.argsort(row)[::-1]
+    rank_t = time.time() - t0
+
+    total = (txt_t * (N_TXT / calib_txt) + img_t * (N_IMG / calib_img)
+             + rank_t)
+    cache.write_text(json.dumps({
+        "torch_cpu_eval_s": total,
+        "note": "reference-equivalent eval, torch CPU, extrapolated from "
+                f"({calib_img} img, {calib_txt} txt) calibration slice",
+    }, indent=2))
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="1/10 scale (still extrapolated in the metric)")
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    t_jax = jax_eval_time(quick=args.quick)
+    if args.quick:
+        # measured a 1/10 slice: extrapolate txt+img linearly
+        t_jax = t_jax * 10.0
+    pairs_per_s = (N_IMG * N_TXT) / t_jax
+
+    if args.skip_baseline:
+        t_base = None
+    else:
+        try:
+            t_base = torch_baseline_time()
+        except Exception as exc:  # noqa: BLE001
+            print(f"baseline failed: {exc}", file=sys.stderr)
+            t_base = None
+
+    vs = (t_base / t_jax) if t_base else 0.0
+    print(json.dumps({
+        "metric": "multi30k_full_eval_pairs_per_sec_per_chip",
+        "value": round(pairs_per_s, 1),
+        "unit": f"img-txt pairs/s (eval wall {t_jax:.2f}s for "
+                f"{N_IMG}x{N_TXT})",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""Input pipeline: deterministic sharded sampling, offline tokenization,
+bucketed static shapes, threaded decode, device prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler + per-step
+host tokenization stack (dataset/__init__.py:179-212,
+image_Retrieval_caption.py:42-61) with a TPU-friendly design:
+
+- texts and MLLM captions are tokenized ONCE at construction (the reference
+  re-tokenizes on every step on the training critical path — SURVEY.md §3.2
+  flags this as a host bottleneck);
+- batches are padded to a small set of bucket widths (config.token_buckets)
+  so the jitted train step compiles at most len(buckets) times — the
+  reference pads to the per-batch longest which would recompile endlessly
+  under XLA;
+- the global shuffle is a seeded permutation of the full index set, sharded
+  deterministically across processes (DistributedSampler parity: equal
+  per-process counts, drop_last for training);
+- image decode/augment runs in a thread pool; normalization happens on
+  device (leccr_tpu.data.images.normalize_images).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from leccr_tpu.config import DataConfig
+
+
+def shard_indices(
+    n: int,
+    epoch: int,
+    seed: int,
+    process_count: int = 1,
+    process_index: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> np.ndarray:
+    """Deterministic global permutation, sharded per process (parity with
+    torch DistributedSampler: pad-to-even when not dropping)."""
+    order = np.arange(n)
+    if shuffle:
+        order = np.random.RandomState(seed + epoch).permutation(n)
+    if drop_last:
+        per = n // process_count
+        order = order[: per * process_count]
+    else:
+        per = -(-n // process_count)
+        pad = per * process_count - n
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+    return order[process_index::process_count]
+
+
+def bucket_width(lengths: Sequence[int], buckets: Sequence[int]) -> int:
+    """Smallest bucket ≥ the longest sequence (clamped to the largest)."""
+    need = max(lengths)
+    for b in sorted(buckets):
+        if b >= need:
+            return b
+    return sorted(buckets)[-1]
+
+
+def pad_token_batch(
+    token_lists: Sequence[Sequence[int]], width: int, pad_id: int = 0
+):
+    ids = np.full((len(token_lists), width), pad_id, np.int32)
+    mask = np.zeros((len(token_lists), width), np.int32)
+    for i, toks in enumerate(token_lists):
+        toks = list(toks)[:width]
+        ids[i, : len(toks)] = toks
+        mask[i, : len(toks)] = 1
+    return ids, mask
+
+
+class TrainLoader:
+    """Epoch iterator over fixed-shape numpy batches for the jitted step.
+
+    Yields dicts with keys matching LECCRModel.__call__'s batch contract plus
+    `idx` ([B] int32) and `flip` ([B] bool, image datasets)."""
+
+    def __init__(
+        self,
+        dataset,
+        tokenizer,
+        cfg: DataConfig,
+        batch_size: int,
+        process_count: int = 1,
+        process_index: int = 0,
+        num_workers: int = 4,
+        caption_tokenizer=None,
+        prefetch: int = 2,
+    ):
+        assert batch_size % max(process_count, 1) == 0
+        self.dataset = dataset
+        self.cfg = cfg
+        self.local_batch = batch_size // max(process_count, 1)
+        self.process_count = process_count
+        self.process_index = process_index
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.tokenizer = tokenizer
+        self.caption_tokenizer = caption_tokenizer or tokenizer
+        self._tokenize_all()
+
+    def _tokenize_all(self) -> None:
+        """Offline tokenization of every (sample, language) text and every
+        MLLM caption."""
+        ds = self.dataset
+        n_lang = len(ds.caption_maps)
+        self.text_tokens: List[List[List[int]]] = [
+            [None] * len(ds) for _ in range(n_lang)]
+        cap = {}
+        max_len = self.cfg.max_tokens
+        for i in range(len(ds)):
+            cap_id = ds.cap_ids[i]
+            from leccr_tpu.data.text import normalize_caption, video_id_of
+            for k, cmap in enumerate(ds.caption_maps):
+                key = cap_id if k == 0 else cap_id.replace(
+                    "#enc#", f"#enc2{ds.languages[k - 1]}#")
+                text = normalize_caption(cmap[key], self.cfg.max_words)
+                toks = self.tokenizer.tokenize(text)[: max_len - 2]
+                self.text_tokens[k][i] = (
+                    [self.tokenizer.cls_id]
+                    + [self.tokenizer.vocab.get(
+                        t, self.tokenizer.vocab["[UNK]"]) for t in toks]
+                    + [self.tokenizer.sep_id])
+            image_id = video_id_of(cap_id)
+            if image_id not in cap and self.cfg.generated_caption_type != "feats":
+                text = ds.generated[image_id]
+                if hasattr(self.caption_tokenizer, "cls_id"):  # wordpiece
+                    toks = self.caption_tokenizer.tokenize(text)[: max_len - 2]
+                    cap[image_id] = (
+                        [self.caption_tokenizer.cls_id]
+                        + [self.caption_tokenizer.vocab.get(
+                            t, self.caption_tokenizer.vocab["[UNK]"])
+                           for t in toks]
+                        + [self.caption_tokenizer.sep_id])
+                else:  # CLIP BPE: fixed 77-wide, pad id 0
+                    cap[image_id] = list(
+                        self.caption_tokenizer.encode([text])[0])
+        self.caption_tokens = cap
+
+    def steps_per_epoch(self) -> int:
+        per = len(self.dataset) // (self.local_batch * self.process_count)
+        return per
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idxs = shard_indices(
+            len(self.dataset), epoch, self.cfg.seed, self.process_count,
+            self.process_index, shuffle=True, drop_last=True)
+        nb = len(idxs) // self.local_batch
+        idxs = idxs[: nb * self.local_batch].reshape(nb, self.local_batch)
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for step, batch_idx in enumerate(idxs):
+                    if stop.is_set():
+                        return
+                    rngs = [np.random.RandomState(
+                        (self.cfg.seed * 1000003 + epoch * 10007 + int(i))
+                        % (2 ** 31)) for i in batch_idx]
+                    samples = list(pool.map(
+                        lambda a: self.dataset.get(int(a[0]), a[1]),
+                        zip(batch_idx, rngs)))
+                    out_q.put(self._collate(batch_idx, samples))
+            out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+    def _collate(self, batch_idx, samples) -> Dict[str, np.ndarray]:
+        buckets = self.cfg.token_buckets
+        cap_bpe = not hasattr(self.caption_tokenizer, "cls_id")
+
+        toks_s = [self.text_tokens[0][int(i)] for i in batch_idx]
+        toks_t = [self.text_tokens[min(1, len(self.text_tokens) - 1)][int(i)]
+                  for i in batch_idx]
+        width = bucket_width(
+            [len(t) for t in toks_s] + [len(t) for t in toks_t], buckets)
+        ids_s, mask_s = pad_token_batch(toks_s, width)
+        ids_t, mask_t = pad_token_batch(toks_t, width)
+
+        batch: Dict[str, np.ndarray] = {
+            "text_ids_s": ids_s, "text_mask_s": mask_s,
+            "text_ids_t": ids_t, "text_mask_t": mask_t,
+            "idx": np.asarray([s.idx for s in samples], np.int32),
+        }
+
+        if self.cfg.generated_caption_type == "feats":
+            feats = [np.asarray(s.caption, np.float32) for s in samples]
+            t = max(f.shape[0] for f in feats)
+            arr = np.zeros((len(feats), t, feats[0].shape[1]), np.float32)
+            msk = np.zeros((len(feats), t), np.int32)
+            for i, f in enumerate(feats):
+                arr[i, : f.shape[0]] = f
+                msk[i, : f.shape[0]] = 1
+            batch["caption_feats"] = arr
+            batch["caption_mask"] = msk
+        else:
+            from leccr_tpu.data.text import video_id_of
+            caps = [self.caption_tokens[video_id_of(s.cap_id)]
+                    for s in samples]
+            if cap_bpe:
+                cw = self.caption_tokenizer.context_length
+                cap_ids = np.zeros((len(caps), cw), np.int32)
+                for i, c in enumerate(caps):
+                    cap_ids[i, : len(c)] = c
+                batch["caption_ids"] = cap_ids
+                batch["caption_mask"] = (cap_ids != 0).astype(np.int32)
+            else:
+                cwidth = bucket_width([len(c) for c in caps], buckets)
+                cap_ids, cap_mask = pad_token_batch(caps, cwidth)
+                batch["caption_ids"] = cap_ids
+                batch["caption_mask"] = cap_mask
+
+        if samples[0].image_u8 is not None:
+            batch["vision"] = np.stack([s.image_u8 for s in samples])
+            batch["flip"] = np.asarray([s.flip for s in samples], bool)
+        else:
+            batch["vision"] = np.stack([s.frames for s in samples])
+            batch["vision_mask"] = np.stack([s.frame_mask for s in samples])
+        return batch
+
+
+class EvalLoader:
+    """Eval batches: text chunks (padded to max_tokens, reference
+    image_Retrieval_caption.py:105) and image/caption batches padded to a
+    fixed batch size (static shapes; surplus rows are sliced off after the
+    forward)."""
+
+    def __init__(self, dataset, tokenizer, cfg: DataConfig, batch_size: int,
+                 text_batch_size: int, caption_tokenizer=None,
+                 num_workers: int = 4):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.caption_tokenizer = caption_tokenizer or tokenizer
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.text_batch_size = text_batch_size
+        self.num_workers = max(1, num_workers)
+
+    def text_batches(self):
+        texts = self.dataset.texts
+        for i in range(0, len(texts), self.text_batch_size):
+            chunk = texts[i: i + self.text_batch_size]
+            n = len(chunk)
+            chunk = list(chunk) + [""] * (self.text_batch_size - n)
+            ids, mask = self.tokenizer.encode(chunk, self.cfg.max_tokens)
+            yield ids, mask, n
+
+    def image_batches(self):
+        n = len(self.dataset)
+        cap_bpe = not hasattr(self.caption_tokenizer, "cls_id")
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, n, self.batch_size):
+                stop = min(start + self.batch_size, n)
+                items = list(pool.map(self.dataset.get, range(start, stop)))
+                count = len(items)
+                while len(items) < self.batch_size:
+                    items.append(items[-1])
+                vision = [it[0] for it in items]
+                caps = [it[1] for it in items]
+                batch: Dict[str, np.ndarray] = {}
+                if isinstance(vision[0], tuple):  # video (frames, mask)
+                    batch["vision"] = np.stack([v[0] for v in vision])
+                    batch["vision_mask"] = np.stack([v[1] for v in vision])
+                else:
+                    batch["vision"] = np.stack(vision)
+                if self.cfg.generated_caption_type == "feats":
+                    t = max(np.asarray(c).shape[0] for c in caps)
+                    arr = np.zeros((len(caps), t, 768), np.float32)
+                    msk = np.zeros((len(caps), t), np.int32)
+                    for i, c in enumerate(caps):
+                        c = np.asarray(c, np.float32)
+                        arr[i, : c.shape[0]] = c
+                        msk[i, : c.shape[0]] = 1
+                    batch["caption_feats"] = arr
+                    batch["caption_mask"] = msk
+                elif cap_bpe:
+                    cap_ids = self.caption_tokenizer.encode(caps)
+                    batch["caption_ids"] = cap_ids
+                    batch["caption_mask"] = (cap_ids != 0).astype(np.int32)
+                else:
+                    ids, mask = self.caption_tokenizer.encode(
+                        caps, self.cfg.max_tokens)
+                    batch["caption_ids"] = ids
+                    batch["caption_mask"] = mask
+                yield batch, count

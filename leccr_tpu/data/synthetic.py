@@ -1,0 +1,159 @@
+"""Synthetic datasets in the reference on-disk layout.
+
+Writes a miniature Multi30K-style (image) or MSR-VTT-style (video) dataset —
+caption files, id files, MLLM caption dir, images / BigFile feature bank, and
+a WordPiece vocab — so the full parsing + pipeline + train/eval path can be
+exercised end-to-end with no external data (SURVEY.md §4 item 4)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from leccr_tpu.config import DataConfig
+from leccr_tpu.data.feature_bank import write_feature_bank
+from leccr_tpu.data.tokenizers import write_tiny_wordpiece_vocab
+
+_WORDS_EN = ("a man rides his red bike near the old bridge while two dogs "
+             "run across a green field and children play football by the "
+             "river under a cloudy sky").split()
+_WORDS_T = ("ein mann fährt sein rotes rad nahe der alten brücke während "
+            "zwei hunde über ein grünes feld laufen und kinder am fluss "
+            "fußball spielen").split()
+
+
+def _sentence(rs: np.random.RandomState, words: List[str], n=8) -> str:
+    return " ".join(rs.choice(words, size=n))
+
+
+def make_image_dataset(
+    root: str,
+    n_train: int = 32,
+    n_eval: int = 8,
+    caps_per_image: int = 2,
+    image_res: int = 64,
+    seed: int = 0,
+    target_lang: str = "de",
+) -> DataConfig:
+    """Create the dataset and return a DataConfig pointing at it."""
+    rs = np.random.RandomState(seed)
+    root = Path(root)
+    (root / "img_id").mkdir(parents=True, exist_ok=True)
+    (root / "TextData").mkdir(exist_ok=True)
+    (root / "images").mkdir(exist_ok=True)
+    (root / "caption").mkdir(exist_ok=True)
+
+    from PIL import Image
+
+    def write_split(name: str, ids: List[str], id_file: str):
+        lines_en, lines_t = [], []
+        for img in ids:
+            arr = rs.randint(0, 255, (image_res, image_res, 3), np.uint8)
+            Image.fromarray(arr).save(root / "images" / f"{img}.jpg")
+            (root / "caption" / f"{img}.txt").write_text(
+                _sentence(rs, _WORDS_EN, 10))
+            for c in range(caps_per_image):
+                lines_en.append(f"{img}#enc#{c} {_sentence(rs, _WORDS_EN)}")
+                lines_t.append(
+                    f"{img}#enc2{target_lang}#{c} {_sentence(rs, _WORDS_T)}")
+        (root / "TextData" / f"{name}_enc.caption.txt").write_text(
+            "\n".join(lines_en))
+        (root / "TextData" / f"{name}_enc2{target_lang}.caption.txt"
+         ).write_text("\n".join(lines_t))
+        (root / "img_id" / id_file).write_text("\n".join(ids))
+
+    train_ids = [f"img{i:04d}" for i in range(n_train)]
+    val_ids = [f"val{i:04d}" for i in range(n_eval)]
+    test_ids = [f"tst{i:04d}" for i in range(n_eval)]
+    write_split("train", train_ids, "train_id.txt")
+    write_split("val", val_ids, "val_id.txt")
+    write_split("test", test_ids, "test_id_2016.txt")
+
+    write_tiny_wordpiece_vocab(
+        str(root / "vocab.txt"), _WORDS_EN + _WORDS_T)
+
+    return DataConfig(
+        dataset="multi30k",
+        root_dir=str(root),
+        train_file=["TextData/train_enc.caption.txt",
+                    f"TextData/train_enc2{target_lang}.caption.txt"],
+        val_file={target_lang: "TextData/val_enc.caption.txt"},
+        test_file={target_lang: "TextData/test_enc.caption.txt"},
+        image_root=str(root / "images"),
+        generated_caption_dir=str(root / "caption"),
+        max_tokens=24,
+        token_buckets=[16, 24],
+        text_vocab=str(root / "vocab.txt"),
+        num_workers=2,
+    )
+
+
+def make_video_dataset(
+    root: str,
+    n_train: int = 16,
+    n_eval: int = 6,
+    caps_per_video: int = 2,
+    feat_dim: int = 64,
+    frames_per_video: int = 5,
+    seed: int = 0,
+    target_lang: str = "zh",
+) -> DataConfig:
+    rs = np.random.RandomState(seed)
+    root = Path(root)
+    (root / "video_id").mkdir(parents=True, exist_ok=True)
+    (root / "TextData").mkdir(exist_ok=True)
+    (root / "caption").mkdir(exist_ok=True)
+
+    all_ids = ([f"video{i}" for i in range(n_train)]
+               + [f"vval{i}" for i in range(n_eval)]
+               + [f"vtst{i}" for i in range(n_eval)])
+    frame_names, video2frames = [], {}
+    for vid in all_ids:
+        nf = int(rs.randint(2, frames_per_video + 1))
+        names = [f"{vid}_f{j}" for j in range(nf)]
+        video2frames[vid] = names
+        frame_names.extend(names)
+    feats = rs.randn(len(frame_names), feat_dim).astype(np.float32)
+    feat_dir = root / "FeatureData" / "feats"
+    write_feature_bank(str(feat_dir), frame_names, feats)
+    (feat_dir / "video2frames.txt").write_text(repr(video2frames))
+
+    def write_split(name: str, ids: List[str], id_file: str):
+        lines_en, lines_t = [], []
+        for vid in ids:
+            (root / "caption" / f"{vid}.txt").write_text(
+                _sentence(rs, _WORDS_EN, 10))
+            for c in range(caps_per_video):
+                lines_en.append(f"{vid}#enc#{c} {_sentence(rs, _WORDS_EN)}")
+                lines_t.append(
+                    f"{vid}#enc2{target_lang}#{c} {_sentence(rs, _WORDS_T)}")
+        (root / "TextData" / f"{name}_enc.caption.txt").write_text(
+            "\n".join(lines_en))
+        (root / "TextData" / f"{name}_enc2{target_lang}.caption.txt"
+         ).write_text("\n".join(lines_t))
+        (root / "video_id" / id_file).write_text("\n".join(ids))
+
+    write_split("train", all_ids[:n_train], "train_id.txt")
+    write_split("val", all_ids[n_train:n_train + n_eval], "val_id.txt")
+    write_split("test", all_ids[n_train + n_eval:], "test_id.txt")
+
+    write_tiny_wordpiece_vocab(str(root / "vocab.txt"),
+                               _WORDS_EN + _WORDS_T)
+
+    return DataConfig(
+        dataset="video",
+        root_dir=str(root),
+        train_file=["TextData/train_enc.caption.txt",
+                    f"TextData/train_enc2{target_lang}.caption.txt"],
+        val_file={target_lang: "TextData/val_enc.caption.txt"},
+        test_file={target_lang: "TextData/test_enc.caption.txt"},
+        image_root="feats",
+        generated_caption_dir=str(root / "caption"),
+        max_tokens=24,
+        token_buckets=[16, 24],
+        text_vocab=str(root / "vocab.txt"),
+        num_workers=2,
+    )

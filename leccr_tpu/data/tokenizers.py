@@ -1,0 +1,296 @@
+"""Offline tokenizers: BERT WordPiece and CLIP byte-BPE.
+
+Capability parity: the reference tokenizes with HF
+`BertTokenizer('bert-base-multilingual-cased')` on every training step
+(image_Retrieval_caption.py:46-61) and with the vendored CLIP BPE
+(clip/clip.py:197-237, clip/simple_tokenizer.py).  Both are re-implemented
+here as pure-Python, dependency-free tokenizers that load local vocab files —
+no network, and designed to run OFFLINE in the input pipeline (pre-tokenize
+once, fixed shapes) instead of per step on the training critical path
+(SURVEY.md §3.2 "per-step tokenization is a real CPU bottleneck").
+
+Outputs are numpy int32 arrays padded to a fixed length -> static XLA shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import re
+import unicodedata
+from pathlib import Path
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# BERT WordPiece
+# --------------------------------------------------------------------------
+
+def _is_whitespace(ch: str) -> bool:
+    return ch in " \t\n\r" or unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in "\t\n\r":
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (
+            123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+class WordPieceTokenizer:
+    """BERT-style tokenizer: basic tokenization + greedy WordPiece.
+
+    Matches HF BertTokenizer given the same vocab (verified in
+    tests/test_tokenizers.py).  `lowercase=False` for
+    bert-base-multilingual-cased."""
+
+    def __init__(self, vocab_file: str, lowercase: bool = False,
+                 strip_accents: bool | None = None):
+        self.vocab: Dict[str, int] = {}
+        for i, line in enumerate(
+                Path(vocab_file).read_text(encoding="utf-8").splitlines()):
+            self.vocab[line.strip("\n")] = i
+        self.lowercase = lowercase
+        # HF semantics: strip_accents defaults to the lowercase flag
+        self.strip_accents = lowercase if strip_accents is None else strip_accents
+        self.unk = "[UNK]"
+        self.cls_id = self.vocab["[CLS]"]
+        self.sep_id = self.vocab["[SEP]"]
+        self.pad_id = self.vocab.get("[PAD]", 0)
+        self.max_chars_per_word = 100
+
+    # --- basic tokenizer ---------------------------------------------
+    def _clean(self, text: str) -> str:
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            out.append(" " if _is_whitespace(ch) else ch)
+        return "".join(out)
+
+    def _split_cjk(self, text: str) -> str:
+        out = []
+        for ch in text:
+            if _is_cjk(ord(ch)):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _basic_tokens(self, text: str) -> List[str]:
+        text = self._split_cjk(self._clean(text))
+        tokens = []
+        for tok in text.strip().split():
+            if self.lowercase:
+                tok = tok.lower()
+            if self.strip_accents:
+                tok = "".join(
+                    c for c in unicodedata.normalize("NFD", tok)
+                    if unicodedata.category(c) != "Mn")
+            # split on punctuation
+            buf: List[str] = []
+            for ch in tok:
+                if _is_punctuation(ch):
+                    tokens.extend(["".join(buf)] if buf else [])
+                    tokens.append(ch)
+                    buf = []
+                else:
+                    buf.append(ch)
+            if buf:
+                tokens.append("".join(buf))
+        return tokens
+
+    # --- wordpiece ----------------------------------------------------
+    def _wordpiece(self, token: str) -> List[str]:
+        if len(token) > self.max_chars_per_word:
+            return [self.unk]
+        pieces: List[str] = []
+        start = 0
+        while start < len(token):
+            end = len(token)
+            piece = None
+            while start < end:
+                sub = token[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [self.unk]
+            pieces.append(piece)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> List[str]:
+        out: List[str] = []
+        for tok in self._basic_tokens(text):
+            out.extend(self._wordpiece(tok))
+        return out
+
+    def encode(
+        self,
+        texts: Sequence[str],
+        max_length: int,
+        pad_to: int | None = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """[CLS] tokens [SEP] with truncation to max_length and padding to a
+        fixed width -> (ids [B, W], mask [B, W]) int32."""
+        width = pad_to or max_length
+        ids = np.full((len(texts), width), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), width), np.int32)
+        for row, text in enumerate(texts):
+            toks = self.tokenize(text)[: max_length - 2]
+            seq = [self.cls_id] + [
+                self.vocab.get(t, self.vocab[self.unk]) for t in toks
+            ] + [self.sep_id]
+            ids[row, : len(seq)] = seq
+            mask[row, : len(seq)] = 1
+        return ids, mask
+
+
+# --------------------------------------------------------------------------
+# CLIP byte-BPE (reference clip/simple_tokenizer.py:62-132, clip/clip.py:197)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache()
+def _bytes_to_unicode() -> Dict[int, str]:
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_CLIP_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+    if False else
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[A-Za-zÀ-￿]+|[0-9]|[^\sA-Za-z0-9À-￿]+",
+    re.IGNORECASE,
+)
+
+
+class ClipBPETokenizer:
+    """CLIP's lowercasing byte-BPE over a gzip'd merges file.
+
+    Token layout per text: <|startoftext|> bpe… <|endoftext|>, padded with 0
+    to context_length=77 and truncated (reference clip/clip.py:197-237)."""
+
+    def __init__(self, merges_file: str, context_length: int = 77):
+        self.byte_encoder = _bytes_to_unicode()
+        opener = gzip.open if merges_file.endswith(".gz") else open
+        with opener(merges_file, "rt", encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        merges = merges[1: 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges if m]
+        vocab = list(_bytes_to_unicode().values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = {v: i for i, v in enumerate(vocab)}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache: Dict[str, str] = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
+        self.context_length = context_length
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
+
+    @staticmethod
+    def _clean(text: str) -> str:
+        text = html.unescape(html.unescape(text))
+        text = re.sub(r"\s+", " ", text)
+        return text.strip().lower()
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = set(zip(word[:-1], word[1:]))
+            bigram = min(
+                pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def tokenize(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for tok in _CLIP_PAT.findall(self._clean(text)):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[p] for p in self._bpe(tok).split(" "))
+        return ids
+
+    def encode(self, texts: Sequence[str],
+               context_length: int | None = None) -> np.ndarray:
+        n = context_length or self.context_length
+        out = np.zeros((len(texts), n), np.int32)
+        for row, text in enumerate(texts):
+            ids = [self.sot] + self.tokenize(text) + [self.eot]
+            if len(ids) > n:  # truncate, keep EOT last (clip/clip.py:230-233)
+                ids = ids[: n - 1] + [self.eot]
+            out[row, : len(ids)] = ids
+        return out
+
+
+def write_tiny_wordpiece_vocab(path: str, words: Iterable[str]) -> None:
+    """Build a small WordPiece vocab covering `words` (tests/synthetic)."""
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    seen = set(tokens)
+    for w in words:
+        for tok in (w, *(f"##{c}" for c in w), *w):
+            if tok not in seen:
+                seen.add(tok)
+                tokens.append(tok)
+    Path(path).write_text("\n".join(tokens), encoding="utf-8")

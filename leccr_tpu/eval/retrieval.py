@@ -7,20 +7,28 @@ very different execution plan:
 
 The reference materializes the full N_img x N_txt score matrix on device,
 copies it to host, and `np.argsort`s every row (O(N² log N) on one CPU core).
-Here ranks are computed ON DEVICE in a single streaming pass:
+Here ranks are computed ON DEVICE in streaming passes over row blocks:
 
-    rank(row, gt) = #\{j : s_j > s_gt\} + #\{j : s_j == s_gt and j > gt\}
+    rank(row, gt) = #{j : s_j > s_gt} + #{j : s_j == s_gt and j > gt}
 
-which reproduces `np.argsort(score)[::-1]` ordering exactly, including its
-tie behavior (descending stable sort puts equal scores in *descending* index
-order — SURVEY.md §7 "Eval ranking ties").  Ground-truth scores come straight
-from the embeddings, so the N x N matrix is only ever held one block at a
-time; nothing but the final rank vectors leaves the device.
+which reproduces `np.argsort(score, kind='stable')[::-1]` ordering exactly:
+equal scores rank in descending index order (SURVEY.md §7 "Eval ranking
+ties").  Note the reference's np.argsort default is introsort, whose tie
+order is arbitrary — ties there are non-deterministic by fractions of an R@K
+point; this implementation pins the stable ordering as the spec.
+
+Exactness note: ground-truth scores are GATHERED from the same block matmuls
+used for the comparisons (pass 1), never recomputed from the embeddings —
+a separately computed dot product can differ in the last ulp and silently
+demote an exact-tie self-match.  Pass 2 streams the same blocks again and
+counts.  Nothing but O(N) rank/gt vectors ever leaves the device, and the
+N x N matrix is never materialized.
 
 Double-sim fusion (video): final = a*norm(v·t) + (1-a)*norm(max_slot c·t)
-with norm(S) = (S - max S)/(max S - min S) (reference video_…py:87-91) —
-per-matrix global min/max are computed in the same streaming pass (pass 1)
-before the rank pass (pass 2).
+with norm(S) = (S - max S)/(max S - min S) (an increasing linear rewrite of
+the reference's double-negated normalization, video_…py:87-91).  Both fused
+variants are linear in the raw scores, so pass 1 collects raw gt values and
+min/max, and the same affine map is applied to blocks and gt alike.
 """
 
 from __future__ import annotations
@@ -39,132 +47,135 @@ def score_matrix(img_embeds: jax.Array, txt_embeds: jax.Array) -> jax.Array:
     return img_embeds @ txt_embeds.T
 
 
-def _slot_scores(slots: jax.Array, txt_embeds: jax.Array) -> jax.Array:
-    """Max-over-query-slot caption scores: [N_img, N_txt]
-    (reference video_…py:173-176)."""
-    return jnp.max(jnp.einsum("ine,te->int", slots, txt_embeds), axis=1)
-
-
-def _minmax_norm_params(lo: jax.Array, hi: jax.Array):
-    """Increasing linear form of the reference's double-negated min-max
-    normalization (video_…py:87-91): norm(S) = (S - hi) / (hi - lo)."""
-    scale = 1.0 / jnp.maximum(hi - lo, 1e-12)
-    return scale, -hi * scale
-
-
 @functools.partial(jax.jit, static_argnames=("block", "fusion", "alpha"))
 def _ranks_impl(
     img_embeds: jax.Array,
     txt_embeds: jax.Array,
     txt2img: jax.Array,
     img2txt: jax.Array,
-    slots: Optional[jax.Array],
+    slots: jax.Array,
+    n_valid: jax.Array,
     *,
     block: int,
     fusion: str,
     alpha: float,
 ):
-    n_img, e = img_embeds.shape
+    n_img_pad, e = img_embeds.shape
     n_txt = txt_embeds.shape[0]
     n_gt = img2txt.shape[1]
-
-    def fused_block(img_chunk, slot_chunk, a0, a1, b0, b1):
-        s = img_chunk @ txt_embeds.T
-        if fusion == "none":
-            return s
-        c = _slot_scores(slot_chunk, txt_embeds)
-        if fusion == "raw":  # image_…py:244-246 (alpha * S + (1-alpha) * C)
-            return alpha * s + (1.0 - alpha) * c
-        return alpha * (s * a0 + a1) + (1.0 - alpha) * (c * b0 + b1)
-
-    # ---- pass 1: global min/max for minmax fusion --------------------
-    if fusion == "minmax":
-        def mm_body(carry, chunk):
-            (s_lo, s_hi, c_lo, c_hi) = carry
-            img_chunk, slot_chunk = chunk
-            s = img_chunk @ txt_embeds.T
-            c = _slot_scores(slot_chunk, txt_embeds)
-            return (jnp.minimum(s_lo, jnp.min(s)),
-                    jnp.maximum(s_hi, jnp.max(s)),
-                    jnp.minimum(c_lo, jnp.min(c)),
-                    jnp.maximum(c_hi, jnp.max(c))), None
-
-        n_blocks = n_img // block
-        img_b = img_embeds.reshape(n_blocks, block, e)
-        slots_b = slots.reshape(n_blocks, block, *slots.shape[1:])
-        inf = jnp.float32(jnp.inf)
-        (s_lo, s_hi, c_lo, c_hi), _ = jax.lax.scan(
-            mm_body, (inf, -inf, inf, -inf), (img_b, slots_b))
-        a0, a1 = _minmax_norm_params(s_lo, s_hi)
-        b0, b1 = _minmax_norm_params(c_lo, c_hi)
-    else:
-        a0 = a1 = b0 = b1 = jnp.float32(0.0)
-
-    # ---- ground-truth scores straight from embeddings ----------------
-    # t2i: per text t, score of its gt image (txt2img[t]).
-    gt_img = img_embeds[txt2img]  # [n_txt, e]
-    gt_t2i = jnp.sum(gt_img * txt_embeds, axis=-1)
-    if fusion != "none":
-        gt_slots = slots[txt2img]  # [n_txt, n_q, e]
-        gt_c = jnp.max(jnp.einsum("tne,te->tn", gt_slots, txt_embeds), axis=1)
-        if fusion == "raw":
-            gt_t2i = alpha * gt_t2i + (1.0 - alpha) * gt_c
-        else:
-            gt_t2i = alpha * (gt_t2i * a0 + a1) + (1.0 - alpha) * (
-                gt_c * b0 + b1)
-
-    # i2t: per image i and gt slot k, score of text img2txt[i, k] (pad = -1).
+    n_blocks = n_img_pad // block
+    img_b = img_embeds.reshape(n_blocks, block, e)
+    slots_b = slots.reshape(n_blocks, block, *slots.shape[1:])
+    row0s = jnp.arange(n_blocks) * block
+    txt_ids = jnp.arange(n_txt)
     gt_valid = img2txt >= 0
     gt_txt_idx = jnp.maximum(img2txt, 0)
-    gt_txt = txt_embeds[gt_txt_idx]  # [n_img, n_gt, e]
-    gt_i2t = jnp.einsum("ie,ike->ik", img_embeds, gt_txt)
-    if fusion != "none":
-        gt_ci = jnp.max(jnp.einsum("ine,ike->ink", slots, gt_txt), axis=1)
-        if fusion == "raw":
-            gt_i2t = alpha * gt_i2t + (1.0 - alpha) * gt_ci
-        else:
-            gt_i2t = alpha * (gt_i2t * a0 + a1) + (1.0 - alpha) * (
-                gt_ci * b0 + b1)
 
-    # ---- pass 2: streaming rank counts --------------------------------
-    txt_ids = jnp.arange(n_txt)
+    def raw_scores(img_chunk, slot_chunk):
+        s = img_chunk @ txt_embeds.T  # [blk, n_txt]
+        if fusion == "none":
+            return s, s  # c unused
+        c = jnp.max(jnp.einsum("ine,te->int", slot_chunk, txt_embeds), axis=1)
+        return s, c
 
-    def rank_body(carry, chunk):
+    # ---- pass 1: min/max (minmax fusion) + exact gt gathers ------------
+    def pass1(carry, chunk):
+        s_lo, s_hi, c_lo, c_hi, gts_t2i, gtc_t2i, gts_i2t, gtc_i2t = carry
+        img_chunk, slot_chunk, row0 = chunk
+        rows = row0 + jnp.arange(block)
+        valid = rows < n_valid
+        s, c = raw_scores(img_chunk, slot_chunk)
+
+        big, small = jnp.float32(jnp.inf), jnp.float32(-jnp.inf)
+        s_masked_lo = jnp.where(valid[:, None], s, big)
+        s_masked_hi = jnp.where(valid[:, None], s, small)
+        s_lo = jnp.minimum(s_lo, jnp.min(s_masked_lo))
+        s_hi = jnp.maximum(s_hi, jnp.max(s_masked_hi))
+        if fusion != "none":
+            c_lo = jnp.minimum(
+                c_lo, jnp.min(jnp.where(valid[:, None], c, big)))
+            c_hi = jnp.maximum(
+                c_hi, jnp.max(jnp.where(valid[:, None], c, small)))
+
+        # t2i gt: entry (txt2img[t], t) if that image row is in this block
+        hit = (rows[:, None] == txt2img[None, :]) & valid[:, None]
+        gts_t2i = gts_t2i + jnp.sum(jnp.where(hit, s, 0.0), axis=0)
+        if fusion != "none":
+            gtc_t2i = gtc_t2i + jnp.sum(jnp.where(hit, c, 0.0), axis=0)
+
+        # i2t gt: per image row, its gt texts' entries
+        gidx = jax.lax.dynamic_slice_in_dim(gt_txt_idx, row0, block, axis=0)
+        g_s = jnp.take_along_axis(s, gidx, axis=1)  # [blk, n_gt]
+        gts_i2t = jax.lax.dynamic_update_slice_in_dim(
+            gts_i2t, g_s, row0, axis=0)
+        if fusion != "none":
+            g_c = jnp.take_along_axis(c, gidx, axis=1)
+            gtc_i2t = jax.lax.dynamic_update_slice_in_dim(
+                gtc_i2t, g_c, row0, axis=0)
+        return (s_lo, s_hi, c_lo, c_hi, gts_t2i, gtc_t2i, gts_i2t,
+                gtc_i2t), None
+
+    inf = jnp.float32(jnp.inf)
+    init1 = (inf, -inf, inf, -inf,
+             jnp.zeros((n_txt,), jnp.float32),
+             jnp.zeros((n_txt,), jnp.float32),
+             jnp.zeros((n_img_pad, n_gt), jnp.float32),
+             jnp.zeros((n_img_pad, n_gt), jnp.float32))
+    (s_lo, s_hi, c_lo, c_hi, gts_t2i, gtc_t2i, gts_i2t, gtc_i2t), _ = (
+        jax.lax.scan(pass1, init1, (img_b, slots_b, row0s)))
+
+    # affine fusion map: fused = a0*s + (1-α-part) ... all linear in (s, c)
+    if fusion == "minmax":
+        sa = 1.0 / jnp.maximum(s_hi - s_lo, 1e-12)
+        ca = 1.0 / jnp.maximum(c_hi - c_lo, 1e-12)
+        a0, a1 = alpha * sa, alpha * (-s_hi * sa)
+        b0, b1 = (1.0 - alpha) * ca, (1.0 - alpha) * (-c_hi * ca)
+    elif fusion == "raw":
+        a0, a1 = jnp.float32(alpha), jnp.float32(0.0)
+        b0, b1 = jnp.float32(1.0 - alpha), jnp.float32(0.0)
+    else:
+        a0, a1 = jnp.float32(1.0), jnp.float32(0.0)
+        b0, b1 = jnp.float32(0.0), jnp.float32(0.0)
+
+    def fuse(s, c):
+        out = s * a0 + a1
+        if fusion != "none":
+            out = out + c * b0 + b1
+        return out
+
+    gt_t2i = fuse(gts_t2i, gtc_t2i)  # [n_txt]
+    gt_i2t = fuse(gts_i2t, gtc_i2t)  # [n_img_pad, n_gt]
+
+    # ---- pass 2: streaming rank counts ---------------------------------
+    def pass2(carry, chunk):
         t2i_cnt, i2t_ranks_acc = carry
         img_chunk, slot_chunk, row0 = chunk
-        s = fused_block(img_chunk, slot_chunk, a0, a1, b0, b1)  # [blk, n_txt]
-        rows = row0 + jnp.arange(block)  # image indices of this chunk
+        rows = row0 + jnp.arange(block)
+        valid = rows < n_valid
+        s_raw, c_raw = raw_scores(img_chunk, slot_chunk)
+        s = fuse(s_raw, c_raw)
 
-        # t2i: text t competes against every image row j.
-        greater = (s > gt_t2i[None, :])
+        greater = s > gt_t2i[None, :]
         ties = (s == gt_t2i[None, :]) & (rows[:, None] > txt2img[None, :])
-        t2i_cnt = t2i_cnt + jnp.sum(greater | ties, axis=0)
+        t2i_cnt = t2i_cnt + jnp.sum(
+            (greater | ties) & valid[:, None], axis=0)
 
-        # i2t: image rows in this chunk, rank per gt text then min.
-        # s: [blk, n_txt]; gt_i2t rows for these images: [blk, n_gt]
         g = jax.lax.dynamic_slice_in_dim(gt_i2t, row0, block, axis=0)
         gidx = jax.lax.dynamic_slice_in_dim(gt_txt_idx, row0, block, axis=0)
         gvalid = jax.lax.dynamic_slice_in_dim(gt_valid, row0, block, axis=0)
-        greater_i = (s[:, None, :] > g[:, :, None])  # [blk, n_gt, n_txt]
+        greater_i = s[:, None, :] > g[:, :, None]  # [blk, n_gt, n_txt]
         ties_i = (s[:, None, :] == g[:, :, None]) & (
             txt_ids[None, None, :] > gidx[:, :, None])
-        ranks_k = jnp.sum(greater_i | ties_i, axis=-1)  # [blk, n_gt]
+        ranks_k = jnp.sum(greater_i | ties_i, axis=-1).astype(jnp.int32)
         ranks_k = jnp.where(gvalid, ranks_k, n_txt + 1)
-        i2t_ranks = jnp.min(ranks_k, axis=-1)
         i2t_ranks_acc = jax.lax.dynamic_update_slice_in_dim(
-            i2t_ranks_acc, i2t_ranks, row0, axis=0)
+            i2t_ranks_acc, jnp.min(ranks_k, axis=-1), row0, axis=0)
         return (t2i_cnt, i2t_ranks_acc), None
 
-    n_blocks = n_img // block
-    img_b = img_embeds.reshape(n_blocks, block, e)
-    if slots is None:
-        slots_b = jnp.zeros((n_blocks, block, 1, e), img_embeds.dtype)
-    else:
-        slots_b = slots.reshape(n_blocks, block, *slots.shape[1:])
-    row0s = jnp.arange(n_blocks) * block
-    init = (jnp.zeros((n_txt,), jnp.int32), jnp.zeros((n_img,), jnp.int32))
+    init2 = (jnp.zeros((n_txt,), jnp.int32),
+             jnp.zeros((n_img_pad,), jnp.int32))
     (t2i_ranks, i2t_ranks), _ = jax.lax.scan(
-        rank_body, init, (img_b, slots_b, row0s))
+        pass2, init2, (img_b, slots_b, row0s))
     return i2t_ranks, t2i_ranks
 
 
@@ -181,10 +192,9 @@ def retrieval_ranks(
     """Compute (i2t_ranks [N_img], t2i_ranks [N_txt]) on device.
 
     txt2img/img2txt accept the reference's dict-of-lists ground-truth maps
-    (retrieval_dataset.py:208-226) or pre-padded arrays.
-    fusion: "none" | "raw" (image alpha-blend, image_…py:244-246) |
-    "minmax" (video double-sim, video_…py:169-179).
-    """
+    (retrieval_dataset.py:208-226) or pre-padded arrays (img2txt padded with
+    -1).  fusion: "none" | "raw" (image alpha-blend, image_…py:244-246) |
+    "minmax" (video double-sim, video_…py:169-179)."""
     img_embeds = jnp.asarray(img_embeds, jnp.float32)
     txt_embeds = jnp.asarray(txt_embeds, jnp.float32)
     n_img = img_embeds.shape[0]
@@ -201,29 +211,21 @@ def retrieval_ranks(
         img2txt = arr
     img2txt = jnp.asarray(img2txt, jnp.int32)
 
+    if slots is None:
+        slots = jnp.zeros((n_img, 1, img_embeds.shape[1]), jnp.float32)
+        assert fusion == "none"
+    slots = jnp.asarray(slots, jnp.float32)
+
     block = min(block, n_img)
-    # pad images to a multiple of the block size with -inf-like rows that
-    # can never outrank anything (zero embeddings score 0 > some gt? no:
-    # we instead pad and mark their t2i contributions via row index >= n_img)
     pad = (-n_img) % block
     if pad:
-        img_embeds = jnp.concatenate(
-            [img_embeds, jnp.full((pad, img_embeds.shape[1]), -1e30,
-                                  jnp.float32)], axis=0)
-        if slots is not None:
-            slots = jnp.concatenate(
-                [jnp.asarray(slots, jnp.float32),
-                 jnp.full((pad, *np.shape(slots)[1:]), -1e30, jnp.float32)],
-                axis=0)
-        img2txt = jnp.concatenate(
-            [img2txt, jnp.full((pad, img2txt.shape[1]), -1, jnp.int32)],
-            axis=0)
-    if slots is not None:
-        slots = jnp.asarray(slots, jnp.float32)
+        img_embeds = jnp.pad(img_embeds, ((0, pad), (0, 0)))
+        slots = jnp.pad(slots, ((0, pad), (0, 0), (0, 0)))
+        img2txt = jnp.pad(img2txt, ((0, pad), (0, 0)), constant_values=-1)
 
     i2t_ranks, t2i_ranks = _ranks_impl(
         img_embeds, txt_embeds, txt2img, img2txt, slots,
-        block=block, fusion=fusion, alpha=float(alpha))
+        jnp.int32(n_img), block=block, fusion=fusion, alpha=float(alpha))
     return np.asarray(i2t_ranks[:n_img]), np.asarray(t2i_ranks)
 
 

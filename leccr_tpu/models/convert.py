@@ -141,6 +141,87 @@ def bert_params(
     return params
 
 
+def _hf_clip_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """HF CLIPEncoderLayer → _ResidualBlock params (separate q/k/v packed
+    into the in_proj layout)."""
+    qw = _np(sd[f"{prefix}.self_attn.q_proj.weight"]).T
+    kw = _np(sd[f"{prefix}.self_attn.k_proj.weight"]).T
+    vw = _np(sd[f"{prefix}.self_attn.v_proj.weight"]).T
+    qb = _np(sd[f"{prefix}.self_attn.q_proj.bias"])
+    kb = _np(sd[f"{prefix}.self_attn.k_proj.bias"])
+    vb = _np(sd[f"{prefix}.self_attn.v_proj.bias"])
+    return {
+        "attn": {
+            "in_proj": {"kernel": np.concatenate([qw, kw, vw], axis=1),
+                        "bias": np.concatenate([qb, kb, vb])},
+            "out_proj": _dense(sd, f"{prefix}.self_attn.out_proj"),
+        },
+        "ln_1": _layernorm(sd, f"{prefix}.layer_norm1"),
+        "ln_2": _layernorm(sd, f"{prefix}.layer_norm2"),
+        "c_fc": _dense(sd, f"{prefix}.mlp.fc1"),
+        "c_proj": _dense(sd, f"{prefix}.mlp.fc2"),
+    }
+
+
+def clip_vision_params_from_hf(
+    sd: Mapping[str, Any],
+    num_layers: int,
+    target_grid: int | None = None,
+    prefix: str = "vision_model",
+    projection_key: str = "visual_projection.weight",
+) -> Dict[str, Any]:
+    """HF CLIPVisionModel(WithProjection) state_dict → CLIPVisionTower."""
+    import jax.numpy as jnp
+
+    pos = _np(sd[f"{prefix}.embeddings.position_embedding.weight"])
+    if target_grid is not None:
+        pos = np.asarray(interpolate_pos_embed(jnp.asarray(pos), target_grid))
+    conv = _np(sd[f"{prefix}.embeddings.patch_embedding.weight"]).transpose(
+        2, 3, 1, 0)
+    if projection_key in sd:
+        proj = _np(sd[projection_key]).T
+    else:  # no projection head: identity
+        width = conv.shape[-1]
+        proj = np.eye(width, dtype=np.float32)
+    return {
+        "conv1": {"kernel": conv},
+        "class_embedding": _np(sd[f"{prefix}.embeddings.class_embedding"]),
+        "positional_embedding": pos,
+        "proj": proj,
+        "ln_pre": _layernorm(sd, f"{prefix}.pre_layrnorm"),
+        "ln_post": _layernorm(sd, f"{prefix}.post_layernorm"),
+        "transformer": {
+            f"resblock_{i}": _hf_clip_block(sd, f"{prefix}.encoder.layers.{i}")
+            for i in range(num_layers)
+        },
+    }
+
+
+def clip_text_params_from_hf(
+    sd: Mapping[str, Any],
+    num_layers: int,
+    prefix: str = "text_model",
+    projection_key: str = "text_projection.weight",
+) -> Dict[str, Any]:
+    """HF CLIPTextModel(WithProjection) state_dict → CLIPTextTower."""
+    emb = _np(sd[f"{prefix}.embeddings.token_embedding.weight"])
+    if projection_key in sd:
+        proj = _np(sd[projection_key]).T
+    else:
+        proj = np.eye(emb.shape[1], dtype=np.float32)
+    return {
+        "token_embedding": {"embedding": emb},
+        "positional_embedding": _np(
+            sd[f"{prefix}.embeddings.position_embedding.weight"]),
+        "text_projection": proj,
+        "ln_final": _layernorm(sd, f"{prefix}.final_layer_norm"),
+        "transformer": {
+            f"resblock_{i}": _hf_clip_block(sd, f"{prefix}.encoder.layers.{i}")
+            for i in range(num_layers)
+        },
+    }
+
+
 def mha_params_from_torch(mha_state: Mapping[str, Any], d_model: int
                           ) -> Dict[str, Any]:
     """torch nn.MultiheadAttention → ops.MultiHeadAttention params

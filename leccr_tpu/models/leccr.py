@@ -172,13 +172,21 @@ class LECCRModel(nn.Module):
 
     def encode_caption(
         self,
-        caption_ids: jax.Array,
+        caption_ids: Optional[jax.Array],
         caption_mask: Optional[jax.Array] = None,
+        caption_feats: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         """Encode the MLLM-generated caption -> (embeds [B,L,Dc],
         key_padding_mask [B,L] True=pad).  No gradient flows into the caption
-        encoder (reference model_retrieval_caption.py:158-163)."""
+        encoder (reference model_retrieval_caption.py:158-163).
+
+        caption_feats short-circuits the encoder for precomputed per-token
+        features (`generated_caption_type: feats`,
+        reference retrieval_dataset.py:67-69)."""
+        if caption_feats is not None:
+            return (jax.lax.stop_gradient(caption_feats.astype(self.dtype)),
+                    ~caption_mask.astype(bool))
         if self.cfg.caption_encoder_name == "clip":
             _, hidden = self.clip_text_tower(caption_ids)
             padding_mask = caption_ids == 0
@@ -252,7 +260,8 @@ class LECCRModel(nn.Module):
             batch["vision"], batch.get("vision_mask"), deterministic)
 
         caption_embeds, caption_padding = self.encode_caption(
-            batch["caption_ids"], batch.get("caption_mask"), deterministic)
+            batch.get("caption_ids"), batch.get("caption_mask"),
+            batch.get("caption_feats"), deterministic)
 
         fused_vision, fused_slots, ori_slots = self.interact(
             ori_vision, caption_embeds, caption_padding,
@@ -308,7 +317,8 @@ class LECCRModel(nn.Module):
         ori_vision, vision_mask = self.encode_vision(
             batch["vision"], batch.get("vision_mask"), True)
         caption_embeds, caption_padding = self.encode_caption(
-            batch["caption_ids"], batch.get("caption_mask"), True)
+            batch.get("caption_ids"), batch.get("caption_mask"),
+            batch.get("caption_feats"), True)
         fused_vision, fused_slots, _ = self.interact(
             ori_vision, caption_embeds, caption_padding,
             None if vision_mask is None else ~vision_mask.astype(bool), True)

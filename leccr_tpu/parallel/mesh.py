@@ -1,0 +1,102 @@
+"""Device mesh + sharding layout.
+
+The reference's distributed runtime is an NCCL process group + DDP
+(SURVEY.md §2c); the TPU-native equivalent is a single-controller program
+over a `jax.sharding.Mesh` with two axes:
+
+- `data`: the batch axis (DistributedSampler + DDP parity). Gradients are
+  reduced automatically by XLA because the loss is a mean over the globally
+  sharded batch — no hand-written all-reduce.
+- `model`: tensor parallelism for large towers (ViT-L/14 scale-up,
+  BASELINE.json config #5). Dense kernels are sharded column-/row-wise and
+  XLA GSPMD inserts the activation collectives.
+
+On one chip both axes are 1 and everything below degenerates to no-ops.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from leccr_tpu.config import ParallelConfig
+
+
+def make_mesh(cfg: Optional[ParallelConfig] = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = cfg.model if cfg else 1
+    data = cfg.data if cfg else -1
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_spec() -> P:
+    return P("data")
+
+
+def replicated_spec() -> P:
+    return P()
+
+
+# Tensor-parallel layout for transformer Dense kernels.  Column-parallel
+# (shard output features) for up-projections, row-parallel (shard input
+# features) for down-projections; everything else replicated.
+_COL_PARALLEL = re.compile(
+    r"(c_fc|in_proj|intermediate|query|key|value|linear1)$")
+_ROW_PARALLEL = re.compile(r"(c_proj|out_proj|output|out|linear2)$")
+
+
+def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
+    """Map a param path to a PartitionSpec over the `model` axis."""
+    if leaf.ndim < 2:
+        return P()
+    parent = path[-2] if len(path) >= 2 else ""
+    name = path[-1]
+    if name == "kernel" and leaf.ndim == 2:
+        if _COL_PARALLEL.search(parent):
+            return P(None, "model")
+        if _ROW_PARALLEL.search(parent):
+            return P("model", None)
+    if name == "embedding" and leaf.ndim == 2:
+        return P(None, "model") if leaf.shape[1] % 2 == 0 else P()
+    return P()
+
+
+def params_shardings(mesh: Mesh, params) -> Any:
+    """NamedSharding pytree for the params, honoring the model axis (only
+    meaningful when mesh has model > 1; otherwise fully replicated)."""
+    if mesh.shape.get("model", 1) == 1:
+        return jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), params)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(kp, leaf):
+        path = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in kp)
+        spec = param_partition_spec(path, leaf)
+        # only shard when divisible
+        for axis_size, axis_name in zip(leaf.shape, spec):
+            if axis_name == "model" and axis_size % mesh.shape["model"]:
+                return P()
+        return spec
+
+    specs = {kp: spec_for(kp, leaf) for kp, leaf in flat}
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: NamedSharding(mesh, specs[kp]), params)
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
+    """Device-put a host batch sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

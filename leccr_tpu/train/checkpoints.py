@@ -1,0 +1,78 @@
+"""Checkpoint/resume via orbax: async pytree save of
+{params, opt_state, step/epoch, config snapshot, best metric}.
+
+Capability parity with the reference's torch.save dict
+{model, optimizer, lr_scheduler, config, epoch}
+(image_Retrieval_caption.py:478-499), best-sumR gating and last-epoch
+fallback, plus a REAL `--resume` (the reference's resume is a hard-coded
+`RESUME = False` block, :429-438 — SURVEY.md §7 fidelity footnote).
+The LR schedule is a pure function of the step here, so persisting `step`
+subsumes the reference's lr_scheduler state."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, output_dir: str, keep: int = 2):
+        self.dir = Path(output_dir).resolve() / "checkpoints"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            str(self.dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=True),
+        )
+        self.best_path = self.dir / "best.json"
+
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any,
+        epoch: int,
+        config_json: str = "",
+        metrics: Optional[Dict[str, float]] = None,
+        is_best: bool = False,
+    ) -> None:
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "meta": {"step": step, "epoch": epoch},
+        }
+        self.manager.save(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state)))
+        if config_json:
+            (self.dir / "config.json").write_text(config_json)
+        if is_best:
+            self.best_path.write_text(json.dumps(
+                {"step": step, "epoch": epoch, "metrics": metrics or {}}))
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(
+        self, abstract_state: Any, step: Optional[int] = None
+    ) -> Tuple[Any, Any, Dict[str, int]]:
+        """Restore (params, opt_state, meta).  abstract_state is a pytree of
+        jax.ShapeDtypeStruct (or concrete arrays) matching save()'s layout."""
+        step = step if step is not None else self.manager.latest_step()
+        assert step is not None, "no checkpoint to restore"
+        restored = self.manager.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state)))
+        state = restored["state"]
+        return state["params"], state["opt_state"], state["meta"]
+
+    def best_info(self) -> Optional[Dict]:
+        if self.best_path.exists():
+            return json.loads(self.best_path.read_text())
+        return None

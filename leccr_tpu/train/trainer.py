@@ -1,0 +1,380 @@
+"""The training/eval engine: jitted train step over a device mesh, epoch
+loop with per-language retrieval eval, best-checkpoint gating, JSONL logs.
+
+Capability parity with the reference entry points
+(image_Retrieval_caption.py:28-516, video_Retrieval_caption_double_sim.py)
+— ONE engine covers both modalities (the reference duplicates the script per
+modality; SURVEY.md §7 collapses them behind the tower config).
+
+TPU-first design notes:
+- the full step (normalize → towers → interaction → 5 losses → AdamW) is one
+  jit-compiled program; batch arrives sharded over the mesh's `data` axis and
+  XLA inserts every collective the reference did by hand (AllGather for
+  global negatives, gradient all-reduce via the mean over the global batch);
+- gradient parity with DDP: the reference computes gathered losses
+  identically on every rank and DDP *averages* gradients, which scales the
+  gathered terms' gradients by 1/world while local terms stay per-rank means
+  (models/xvlm.py:50-70 backward slices + DDP mean).  `grad_total` reproduces
+  that exactly: gathered terms are scaled by 1/data_shards, local terms use
+  the per-block mean (losses.compute_losses(num_blocks=...)).
+- params are donated; dropout keys derive from a fold_in on the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import functools
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from leccr_tpu.config import LECCRConfig
+from leccr_tpu.data.images import normalize_images
+from leccr_tpu.data.pipeline import EvalLoader, TrainLoader
+from leccr_tpu.data.tokenizers import ClipBPETokenizer, WordPieceTokenizer
+from leccr_tpu.eval.retrieval import itm_metrics_from_ranks, retrieval_ranks
+from leccr_tpu.models.leccr import LECCRModel
+from leccr_tpu.models.losses import compute_losses
+from leccr_tpu.parallel.mesh import make_mesh, params_shardings
+from leccr_tpu.train.checkpoints import CheckpointManager
+from leccr_tpu.train.metrics import JSONLLogger, MetricLogger, SmoothedValue
+from leccr_tpu.train.optim import build_optimizer
+from leccr_tpu.train.schedule import linear_warmup_decay
+
+LOSS_KEYS = ("loss_itc_vs", "loss_itc_vt", "loss_itc_st", "loss_itc_c",
+             "loss_reg_c")
+
+
+def build_datasets(cfg: LECCRConfig):
+    """(train_ds, {lang: val_ds}, {lang: test_ds}) in the reference layout
+    (dataset/__init__.py:117-162)."""
+    data = cfg.data
+    if data.dataset == "synthetic":
+        from leccr_tpu.data.synthetic import make_image_dataset
+
+        root = Path(cfg.output_dir) / ".synthetic"
+        synth = make_image_dataset(
+            str(root), n_train=data.synthetic_size,
+            n_eval=data.synthetic_eval_images,
+            caps_per_image=data.synthetic_captions_per_image,
+            image_res=cfg.model.vision.image_res, seed=data.seed)
+        for field in ("root_dir", "train_file", "val_file", "test_file",
+                      "image_root", "generated_caption_dir", "text_vocab"):
+            setattr(data, field, getattr(synth, field))
+        data.dataset = "multi30k"
+
+    from leccr_tpu.data.datasets import (
+        ImageEvalDataset,
+        ImageTrainDataset,
+        VideoEvalDataset,
+        VideoTrainDataset,
+    )
+
+    if data.dataset == "video":
+        max_frames = cfg.model.vision.max_frames
+        train = VideoTrainDataset(data, max_frames)
+        val = {k: VideoEvalDataset(data, p, max_frames, "eval")
+               for k, p in data.val_file.items()}
+        test = {k: VideoEvalDataset(data, p, max_frames, "test")
+                for k, p in data.test_file.items()}
+    else:
+        res = cfg.model.vision.image_res
+        train = ImageTrainDataset(data, res)
+        val = {k: ImageEvalDataset(data, p, res, "eval")
+               for k, p in data.val_file.items()}
+        test = {k: ImageEvalDataset(data, p, res, "test")
+                for k, p in data.test_file.items()}
+    return train, val, test
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+
+class Trainer:
+    def __init__(self, cfg: LECCRConfig, devices=None):
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg.parallel, devices)
+        self.is_video = cfg.model.vision.kind == "temporal"
+        self.model = LECCRModel(cfg.model)
+        self.process_index = jax.process_index()
+        self.is_main = self.process_index == 0
+
+        self.train_ds, self.val_ds, self.test_ds = build_datasets(cfg)
+
+        self.tokenizer = WordPieceTokenizer(
+            cfg.data.text_vocab, lowercase=cfg.data.lowercase)
+        if cfg.model.caption_encoder_name == "clip":
+            self.caption_tokenizer = ClipBPETokenizer(cfg.data.clip_bpe_vocab)
+        else:
+            self.caption_tokenizer = self.tokenizer
+
+        self.train_loader = TrainLoader(
+            self.train_ds, self.tokenizer, cfg.data,
+            batch_size=cfg.train.batch_size_train,
+            process_count=jax.process_count(),
+            process_index=self.process_index,
+            num_workers=cfg.data.num_workers,
+            caption_tokenizer=self.caption_tokenizer)
+
+        steps_per_epoch = self.train_loader.steps_per_epoch()
+        total_steps = max(1, cfg.train.schedular.epochs * steps_per_epoch)
+        self.schedule = linear_warmup_decay(
+            cfg.train.optimizer.lr, total_steps,
+            cfg.train.schedular.num_warmup_steps)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.state = self._init_state()
+        self.ckpt = CheckpointManager(cfg.output_dir, cfg.train.keep_checkpoints)
+        self.logger = JSONLLogger(cfg.output_dir, enabled=self.is_main)
+        self._train_step = self._make_train_step()
+        self._embed_images = jax.jit(
+            lambda p, b: self.model.apply({"params": p}, b,
+                                          method="embed_images"))
+        self._embed_texts = jax.jit(
+            lambda p, i, m: self.model.apply({"params": p}, i, m,
+                                             method="embed_texts"))
+
+    # ------------------------------------------------------------- init
+
+    def _example_batch(self) -> Dict[str, np.ndarray]:
+        b = max(self.mesh.shape["data"], 1)
+        width = self.cfg.data.token_buckets[0]
+        vocab = self.cfg.model.text.vocab_size
+        rs = np.random.RandomState(0)
+        batch = {
+            "text_ids_s": rs.randint(1, vocab, (b, width)).astype(np.int32),
+            "text_mask_s": np.ones((b, width), np.int32),
+            "text_ids_t": rs.randint(1, vocab, (b, width)).astype(np.int32),
+            "text_mask_t": np.ones((b, width), np.int32),
+            "caption_ids": rs.randint(1, vocab, (b, width)).astype(np.int32),
+            "caption_mask": np.ones((b, width), np.int32),
+        }
+        if self.is_video:
+            t = self.cfg.model.vision.max_frames
+            d = self.cfg.model.vision.frame_feat_dim
+            batch["vision"] = rs.randn(b, t, d).astype(np.float32)
+            batch["vision_mask"] = np.ones((b, t), bool)
+        else:
+            res = self.cfg.model.vision.image_res
+            batch["vision"] = rs.randint(
+                0, 255, (b, res, res, 3)).astype(np.uint8)
+        return batch
+
+    def _init_state(self) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        batch = self._example_batch()
+        params = self.model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            batch)["params"]
+        self.tx = build_optimizer(
+            self.cfg.train.optimizer, params, self.schedule,
+            frozen_paths=("clip_text_tower",),
+            grad_clip=self.cfg.train.grad_clip)
+        opt_state = self.tx.init(params)
+        shardings = params_shardings(self.mesh, params)
+        params = jax.device_put(params, shardings)
+        rep = NamedSharding(self.mesh, P())
+        opt_state = jax.device_put(opt_state, rep)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        if self.is_main:
+            print(f"### Total Params: {n_params}")
+        return TrainState(params=params, opt_state=opt_state, step=0)
+
+    # ------------------------------------------------------- train step
+
+    def _make_train_step(self):
+        mc = self.cfg.model
+        num_blocks = self.mesh.shape["data"]
+        is_video = self.is_video
+
+        def step_fn(params, opt_state, batch, rng):
+            idx = batch.pop("idx")
+            flip = batch.pop("flip", None)
+
+            def loss_fn(p):
+                model_batch = dict(batch)
+                if not is_video:
+                    model_batch["vision"] = normalize_images(
+                        model_batch["vision"], flip)
+                emb = self.model.apply(
+                    {"params": p}, model_batch, deterministic=False,
+                    rngs={"dropout": rng})
+                losses = compute_losses(
+                    emb, idx,
+                    weight_caption_loss=mc.weight_caption_loss,
+                    weight_reg_loss=mc.weight_reg_loss,
+                    weight_dstl_loss=mc.weight_dstl_loss,
+                    weight_cv_loss=mc.weight_cv_loss,
+                    dstl_alpha=mc.dstl_alpha,
+                    num_blocks=num_blocks,
+                    cv_loss_local=is_video)
+                # DDP gradient parity (see module docstring): gathered terms
+                # scaled by 1/num_blocks, local terms (caption ITC, reg,
+                # video cv) already per-block means.
+                gathered = (losses["raw_itc_vs"]
+                            + losses["raw_itc_vt"] * (1 - mc.weight_dstl_loss)
+                            + losses["loss_itc_st"] + losses["raw_dstl"])
+                if not is_video:
+                    gathered = gathered + losses["raw_cv"]
+                local = (losses["loss_itc_c"] + losses["loss_reg_c"])
+                if is_video:
+                    local = local + losses["raw_cv"]
+                grad_total = gathered / num_blocks + local
+                return grad_total, losses
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            import optax
+
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, losses
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    # ----------------------------------------------------------- epochs
+
+    def train_epoch(self, epoch: int) -> Dict[str, str]:
+        logger = MetricLogger(print_fn=print if self.is_main else lambda *_: 0)
+        logger.add_meter("lr", SmoothedValue(1, "{value:.6f}"))
+        for key in LOSS_KEYS:
+            logger.add_meter(key, SmoothedValue(1, "{value:.4f}"))
+        header = f"Train Epoch: [{epoch}]"
+        data_sharding = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+        base_rng = jax.random.PRNGKey(self.cfg.train.seed + 17)
+
+        for batch in logger.log_every(
+                self.train_loader.epoch(epoch), self.cfg.train.log_every,
+                header, total=self.steps_per_epoch):
+            rng = jax.device_put(
+                jax.random.fold_in(base_rng, self.state.step), rep)
+            batch = jax.tree.map(
+                lambda x: jax.device_put(x, data_sharding), batch)
+            params, opt_state, losses = self._train_step(
+                self.state.params, self.state.opt_state, batch, rng)
+            self.state = TrainState(params, opt_state, self.state.step + 1)
+            logger.update(
+                lr=float(self.schedule(self.state.step)),
+                **{k: float(losses[k]) for k in LOSS_KEYS})
+        if self.is_main:
+            print("Averaged stats:", logger)
+        return {k: f"{m.global_avg:.5f}" for k, m in logger.meters.items()}
+
+    # ------------------------------------------------------------- eval
+
+    def evaluate(self, dataset) -> Dict[str, float]:
+        """Full retrieval eval for one split: embed texts + images (with the
+        caption branch), streaming ranks, Recall@K (reference
+        evaluation_coarse → itm_eval)."""
+        t0 = time.time()
+        loader = EvalLoader(
+            dataset, self.tokenizer, self.cfg.data,
+            batch_size=self.cfg.train.batch_size_test,
+            text_batch_size=self.cfg.train.batch_size_test_text,
+            caption_tokenizer=self.caption_tokenizer,
+            num_workers=self.cfg.data.num_workers)
+
+        text_embeds = []
+        for ids, mask, n in loader.text_batches():
+            out = self._embed_texts(self.state.params, ids, mask)
+            text_embeds.append(np.asarray(out[:n]))
+        text_embeds = np.concatenate(text_embeds, axis=0)
+
+        img_feats, img_slots = [], []
+        for batch, count in loader.image_batches():
+            if not self.is_video:
+                batch["vision"] = normalize_images(
+                    jnp.asarray(batch["vision"]))
+            out = self._embed_images(self.state.params, batch)
+            img_feats.append(np.asarray(out["feat"][:count]))
+            img_slots.append(np.asarray(out["slots"][:count]))
+        img_feats = np.concatenate(img_feats, axis=0)
+        img_slots = np.concatenate(img_slots, axis=0)
+
+        fusion = "minmax" if self.is_video else "none"
+        i2t, t2i = retrieval_ranks(
+            img_feats, text_embeds, dataset.index.txt2img,
+            dataset.index.img2txt,
+            slots=img_slots if fusion != "none" else None,
+            fusion=fusion, alpha=0.9)
+        metrics = itm_metrics_from_ranks(i2t, t2i)
+        if self.is_main:
+            dt = str(datetime.timedelta(seconds=int(time.time() - t0)))
+            print(f"Evaluation time {dt}")
+        return metrics
+
+    # --------------------------------------------------------------- fit
+
+    def fit(self, evaluate_only: bool = False) -> Dict[str, float]:
+        cfg = self.cfg
+        start_epoch = 0
+        best, best_epoch = 0.0, 0
+        if cfg.train.resume and self.ckpt.latest_step() is not None:
+            abstract = {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "meta": {"step": 0, "epoch": 0},
+            }
+            params, opt_state, meta = self.ckpt.restore(abstract)
+            self.state = TrainState(params, opt_state, int(meta["step"]))
+            start_epoch = int(meta["epoch"]) + 1
+            info = self.ckpt.best_info()
+            if info:
+                best = info.get("metrics", {}).get("sumr_sum", 0.0)
+                best_epoch = info.get("epoch", 0)
+            if self.is_main:
+                print(f"### resumed from step {self.state.step}, "
+                      f"epoch {start_epoch}")
+
+        max_epoch = cfg.train.schedular.epochs
+        last_stats: Dict[str, float] = {}
+        for epoch in range(start_epoch, max_epoch):
+            log_stats: Dict[str, Any] = {"epoch": epoch}
+            if not evaluate_only:
+                train_stats = self.train_epoch(epoch)
+                log_stats.update(
+                    {f"train_{k}": v for k, v in train_stats.items()})
+
+            sumr_sum = 0.0
+            for language in self.val_ds:
+                val_result = self.evaluate(self.val_ds[language])
+                test_result = self.evaluate(self.test_ds[language])
+                if self.is_main:
+                    print(f"{language}-val: {val_result}")
+                    print(f"{language}-test: {test_result}")
+                sumr_sum += test_result["sumr_sum"]
+                log_stats.update(
+                    {f"{language}_val_{k}": v for k, v in val_result.items()})
+                log_stats.update(
+                    {f"{language}_test_{k}": v for k, v in test_result.items()})
+            last_stats = log_stats
+            self.logger.write(log_stats)
+            if evaluate_only:
+                break
+
+            if self.is_main:
+                is_best = sumr_sum > best
+                if is_best or epoch >= max_epoch - 1:
+                    self.ckpt.save(
+                        self.state.step, self.state.params,
+                        self.state.opt_state, epoch,
+                        config_json=cfg.to_json(),
+                        metrics={"sumr_sum": sumr_sum}, is_best=is_best)
+                if is_best:
+                    best, best_epoch = sumr_sum, epoch
+                print(f"best epoch is {best_epoch} and best sumr is {best:.2f}")
+        self.ckpt.wait()
+        if self.is_main:
+            self.logger.write({"best_epoch": best_epoch, "best": best})
+        return last_stats

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""leccr_tpu launcher.
+
+Capability parity with the reference CLI (run.py:148-199 +
+image_Retrieval_caption.py:519-542 / video_…py argparse), redesigned for the
+TPU runtime: no torch.distributed.launch process fan-out — JAX is
+single-controller, multi-host initialization is one `jax.distributed`
+call — so the launcher and trainer collapse into one entry point.
+
+    python run.py --task itr_caption --config configs/multi30k_fr.yaml \
+        --output_dir out/m30k_fr [--bs 128] [--epoch 50] [--evaluate]
+        [--resume] [--checkpoint /path/ckpt]
+
+Tasks: itr_caption (image-text, reference image_Retrieval_caption.py),
+vtr_caption (video-text double-sim eval,
+reference video_Retrieval_caption_double_sim.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", default="itr_caption",
+                   choices=["itr_caption", "vtr_caption"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--checkpoint", default="",
+                   help="initial params checkpoint (orbax dir or torch file)")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--epoch", default=-1, type=int,
+                   help="override config epochs")
+    p.add_argument("--bs", default=-1, type=int,
+                   help="override GLOBAL train batch size")
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (TPU pods)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    from leccr_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    cfg.task = args.task
+    cfg.output_dir = args.output_dir
+    cfg.train.seed = args.seed
+    if args.epoch > 0:
+        cfg.train.schedular.epochs = args.epoch
+        print(f"### set epochs to: {args.epoch}", flush=True)
+    if args.bs > 0:
+        cfg.train.batch_size_train = args.bs
+    if args.resume:
+        cfg.train.resume = True
+    if args.task == "vtr_caption":
+        assert cfg.model.vision.kind == "temporal", (
+            "vtr_caption needs a temporal vision tower in the config")
+
+    Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    cfg.save(os.path.join(args.output_dir, "config.json"))
+
+    from leccr_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    if args.checkpoint and args.checkpoint != "null":
+        from leccr_tpu.models.weights import load_initial_checkpoint
+
+        trainer.state.params = load_initial_checkpoint(
+            args.checkpoint, trainer.state.params, cfg)
+        print(f"### loaded initial checkpoint from {args.checkpoint}")
+
+    trainer.fit(evaluate_only=args.evaluate)
+
+
+if __name__ == "__main__":
+    main()

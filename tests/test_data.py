@@ -1,0 +1,172 @@
+"""Data layer: normalization goldens, ground-truth index construction,
+feature bank round-trip, sharding/bucketing, synthetic dataset parsing."""
+
+import numpy as np
+import pytest
+
+from leccr_tpu.data.feature_bank import FeatureBank, write_feature_bank
+from leccr_tpu.data.pipeline import (
+    bucket_width,
+    pad_token_batch,
+    shard_indices,
+)
+from leccr_tpu.data.text import (
+    build_eval_index,
+    language_of_train_file,
+    normalize_caption,
+    video_id_of,
+)
+
+
+def test_normalize_caption_goldens():
+    # punctuation → space, lowercase, squeeze (dataset/utils.py:31-59)
+    assert normalize_caption("A man, riding his bike!", 30) == \
+        "a man riding his bike"
+    assert normalize_caption("<person> runs fast-ish", 30) == \
+        "person runs fast ish"
+    assert normalize_caption("a/b  c", 30) == "a b c"
+    # word-level truncation
+    assert normalize_caption("one two three four", 2) == "one two"
+    with pytest.raises(ValueError):
+        normalize_caption("...", 30)
+
+
+def test_video_id_of():
+    assert video_id_of("img123#enc#0") == "img123"
+    assert video_id_of("clip.mp4#enc2fr#1") == "clip"
+    assert video_id_of("pic.jpg#enc#2") == "pic"
+
+
+def test_language_of_train_file():
+    assert language_of_train_file(
+        "TextData/Flickr30ktrain_google_enc2fr.caption.txt") == "fr"
+    assert language_of_train_file("TextData/train_enc2zh.caption.txt") == "zh"
+
+
+def test_build_eval_index():
+    entries = [
+        ("imgA#enc#0", "first caption"),
+        ("imgA#enc#1", "second caption"),
+        ("imgB#enc#0", "third caption"),
+        ("imgA#enc#2", "fourth caption"),
+    ]
+    idx = build_eval_index(entries)
+    assert idx.image_ids == ["imgA", "imgB"]
+    assert idx.txt2img == {0: 0, 1: 0, 2: 1, 3: 0}
+    assert idx.img2txt == {0: [0, 1, 3], 1: [2]}
+    assert idx.texts[0] == "first caption"
+
+
+def test_feature_bank_roundtrip(tmp_path):
+    names = [f"v{i}" for i in range(7)]
+    mat = np.random.RandomState(0).randn(7, 5).astype(np.float32)
+    write_feature_bank(str(tmp_path / "fb"), names, mat)
+    bank = FeatureBank(str(tmp_path / "fb"))
+    assert bank.shape == (7, 5)
+    np.testing.assert_array_equal(bank.read_one("v3"), mat[3])
+    np.testing.assert_array_equal(bank.read_rows(["v5", "v0"]),
+                                  mat[[5, 0]])
+    frames, mask = bank.read_video(["v1", "v2", "v4"], max_frames=5)
+    np.testing.assert_array_equal(frames[:3], mat[[1, 2, 4]])
+    assert mask.tolist() == [True, True, True, False, False]
+    # subsampling keeps endpoints
+    frames2, mask2 = bank.read_video(names, max_frames=3)
+    assert mask2.all()
+    np.testing.assert_array_equal(frames2[0], mat[0])
+    np.testing.assert_array_equal(frames2[-1], mat[6])
+
+
+def test_shard_indices_cover_and_disjoint():
+    shards = [shard_indices(103, epoch=2, seed=1, process_count=4,
+                            process_index=p) for p in range(4)]
+    sizes = {len(s) for s in shards}
+    assert sizes == {25}  # drop_last
+    allidx = np.concatenate(shards)
+    assert len(set(allidx.tolist())) == 100
+    # determinism
+    again = shard_indices(103, epoch=2, seed=1, process_count=4,
+                          process_index=1)
+    np.testing.assert_array_equal(shards[1], again)
+    # different epoch -> different order
+    other = shard_indices(103, epoch=3, seed=1, process_count=4,
+                          process_index=1)
+    assert not np.array_equal(shards[1], other)
+
+
+def test_bucket_and_pad():
+    assert bucket_width([5, 9], [16, 32, 64]) == 16
+    assert bucket_width([20], [16, 32, 64]) == 32
+    assert bucket_width([100], [16, 32, 64]) == 64  # clamped
+    ids, mask = pad_token_batch([[1, 2, 3], [4]], 5)
+    np.testing.assert_array_equal(ids, [[1, 2, 3, 0, 0], [4, 0, 0, 0, 0]])
+    np.testing.assert_array_equal(mask, [[1, 1, 1, 0, 0], [1, 0, 0, 0, 0]])
+
+
+def test_synthetic_image_dataset_parses(tmp_path):
+    from leccr_tpu.data.datasets import ImageEvalDataset, ImageTrainDataset
+    from leccr_tpu.data.synthetic import make_image_dataset
+
+    cfg = make_image_dataset(str(tmp_path / "ds"), n_train=6, n_eval=3,
+                             caps_per_image=2, image_res=32)
+    train = ImageTrainDataset(cfg, image_res=32)
+    assert len(train) == 12  # 6 images x 2 captions
+    rng = np.random.RandomState(0)
+    sample = train.get(0, rng)
+    assert sample.image_u8.shape == (32, 32, 3)
+    assert len(sample.texts) == 2
+    assert sample.idx == 0
+    assert isinstance(sample.caption, str) and sample.caption
+
+    ev = ImageEvalDataset(cfg, cfg.test_file["de"], image_res=32,
+                          split="test")
+    assert len(ev) == 3
+    assert len(ev.texts) == 6
+    img, cap, i = ev.get(1)
+    assert img.shape == (32, 32, 3) and i == 1
+
+
+def test_synthetic_video_dataset_parses(tmp_path):
+    from leccr_tpu.data.datasets import VideoEvalDataset, VideoTrainDataset
+    from leccr_tpu.data.synthetic import make_video_dataset
+
+    cfg = make_video_dataset(str(tmp_path / "vds"), n_train=4, n_eval=2,
+                             feat_dim=16, frames_per_video=4)
+    train = VideoTrainDataset(cfg, max_frames=6)
+    assert len(train) == 8
+    sample = train.get(3, np.random.RandomState(0))
+    assert sample.frames.shape == (6, 16)
+    assert sample.frame_mask[0]
+    ev = VideoEvalDataset(cfg, cfg.test_file["zh"], max_frames=6,
+                          split="test")
+    (frames, mask), cap, i = ev.get(0)
+    assert frames.shape == (6, 16)
+
+
+def test_train_loader_batches(tmp_path):
+    from leccr_tpu.data.datasets import ImageTrainDataset
+    from leccr_tpu.data.pipeline import TrainLoader
+    from leccr_tpu.data.synthetic import make_image_dataset
+    from leccr_tpu.data.tokenizers import WordPieceTokenizer
+
+    cfg = make_image_dataset(str(tmp_path / "ds"), n_train=8, n_eval=2,
+                             caps_per_image=2, image_res=32)
+    ds = ImageTrainDataset(cfg, image_res=32)
+    tok = WordPieceTokenizer(cfg.text_vocab)
+    loader = TrainLoader(ds, tok, cfg, batch_size=4, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 4  # 16 samples / bs 4
+    b = batches[0]
+    assert b["vision"].shape == (4, 32, 32, 3)
+    assert b["vision"].dtype == np.uint8
+    assert b["text_ids_s"].shape == b["text_ids_t"].shape
+    assert b["text_ids_s"].shape[1] in cfg.token_buckets
+    assert b["caption_ids"].shape[0] == 4
+    assert b["idx"].shape == (4,)
+    # two processes shard disjointly
+    l0 = TrainLoader(ds, tok, cfg, batch_size=4, process_count=2,
+                     process_index=0, num_workers=1)
+    l1 = TrainLoader(ds, tok, cfg, batch_size=4, process_count=2,
+                     process_index=1, num_workers=1)
+    ids0 = np.concatenate([b["idx"] for b in l0.epoch(1)])
+    ids1 = np.concatenate([b["idx"] for b in l1.epoch(1)])
+    assert len(ids0) == len(ids1) == 8

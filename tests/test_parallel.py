@@ -1,0 +1,100 @@
+"""Distributed-semantics tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4 item 3): sharded == single-device reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from leccr_tpu.config import ParallelConfig
+from leccr_tpu.models.losses import soft_label_contrastive_loss
+from leccr_tpu.parallel.mesh import make_mesh, params_shardings
+from leccr_tpu.parallel.ring import ring_infonce
+
+RS = np.random.RandomState(11)
+
+
+def _feats(b=32, e=16):
+    a = RS.randn(b, e).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b_ = RS.randn(b, e).astype(np.float32)
+    b_ /= np.linalg.norm(b_, axis=-1, keepdims=True)
+    idx = RS.randint(0, b // 2, size=b).astype(np.int32)  # duplicates
+    return jnp.asarray(a), jnp.asarray(b_), jnp.asarray(idx)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
+def test_ring_infonce_matches_global(data, model):
+    mesh = make_mesh(ParallelConfig(data=data, model=model))
+    a, b, idx = _feats()
+    temp = jnp.float32(0.07)
+    want = soft_label_contrastive_loss(a, b, temp, idx)
+    got = ring_infonce(mesh, a, b, temp, idx)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_ring_infonce_gradients_match_global():
+    mesh = make_mesh(ParallelConfig(data=8, model=1))
+    a, b, idx = _feats()
+    temp = jnp.float32(0.07)
+
+    g_want = jax.grad(
+        lambda x, y: soft_label_contrastive_loss(x, y, temp, idx),
+        argnums=(0, 1))(a, b)
+    g_got = jax.grad(
+        lambda x, y: ring_infonce(mesh, x, y, temp, idx),
+        argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_want[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_want[1]),
+                               atol=1e-6)
+
+
+def test_ring_infonce_without_idx():
+    mesh = make_mesh(ParallelConfig(data=8, model=1))
+    a, b, _ = _feats(16, 8)
+    temp = jnp.float32(0.1)
+    want = soft_label_contrastive_loss(a, b, temp, None)
+    got = ring_infonce(mesh, a, b, temp, None)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_global_loss_under_data_sharding_matches_single_device():
+    """The jit path: global-batch loss with inputs sharded over `data` must
+    equal the unsharded result (XLA inserts the all-gathers the reference
+    did by hand)."""
+    mesh = make_mesh(ParallelConfig(data=8, model=1))
+    a, b, idx = _feats()
+    temp = jnp.float32(0.07)
+    want = soft_label_contrastive_loss(a, b, temp, idx)
+
+    sharding = NamedSharding(mesh, P("data"))
+    a_s = jax.device_put(a, sharding)
+    b_s = jax.device_put(b, sharding)
+    idx_s = jax.device_put(idx, sharding)
+    got = jax.jit(soft_label_contrastive_loss)(a_s, b_s, temp, idx_s)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_param_partition_specs():
+    mesh = make_mesh(ParallelConfig(data=4, model=2))
+    params = {
+        "layer": {
+            "c_fc": {"kernel": jnp.zeros((8, 32)), "bias": jnp.zeros((32,))},
+            "c_proj": {"kernel": jnp.zeros((32, 8)), "bias": jnp.zeros((8,))},
+            "norm": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+        }
+    }
+    sh = params_shardings(mesh, params)
+    assert sh["layer"]["c_fc"]["kernel"].spec == P(None, "model")
+    assert sh["layer"]["c_proj"]["kernel"].spec == P("model", None)
+    assert sh["layer"]["norm"]["scale"].spec == P()
+    # odd dims fall back to replicated
+    params2 = {"c_fc": {"kernel": jnp.zeros((8, 33))}}
+    sh2 = params_shardings(mesh, params2)
+    assert sh2["c_fc"]["kernel"].spec == P()

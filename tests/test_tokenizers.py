@@ -1,0 +1,106 @@
+"""Tokenizer parity vs HuggingFace implementations built from local vocab
+files (no network — SURVEY.md §7 'tokenization parity')."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from leccr_tpu.data.tokenizers import (
+    ClipBPETokenizer,
+    WordPieceTokenizer,
+    write_tiny_wordpiece_vocab,
+)
+
+SENTENCES = [
+    "a man rides his red bike near the bridge",
+    "two dogs, running across a green field!",
+    "the quick brown fox — jumps over 12 lazy dogs?",
+    "CaPiTaLs and punc.tu.ation's edge-cases",
+]
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    words = ("a man rides his red bike near the bridge two dogs running "
+             "across green field quick brown fox jumps over lazy and "
+             "capitals punc tu ation s edge cases").split()
+    write_tiny_wordpiece_vocab(str(path), words)
+    return str(path)
+
+
+def test_wordpiece_matches_hf_uncased(vocab_file):
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file, do_lower_case=True)
+    mine = WordPieceTokenizer(vocab_file, lowercase=True)
+    for s in SENTENCES:
+        assert mine.tokenize(s) == hf.tokenize(s), s
+
+
+def test_wordpiece_matches_hf_cased(vocab_file):
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file, do_lower_case=False)
+    mine = WordPieceTokenizer(vocab_file, lowercase=False)
+    for s in SENTENCES:
+        assert mine.tokenize(s) == hf.tokenize(s), s
+
+
+def test_wordpiece_encode_matches_hf(vocab_file):
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file, do_lower_case=False)
+    mine = WordPieceTokenizer(vocab_file, lowercase=False)
+    want = hf(SENTENCES, padding="max_length", truncation=True, max_length=16,
+              return_tensors="np")
+    ids, mask = mine.encode(SENTENCES, max_length=16)
+    np.testing.assert_array_equal(ids, want["input_ids"].astype(np.int32))
+    np.testing.assert_array_equal(mask, want["attention_mask"].astype(np.int32))
+
+
+@pytest.fixture(scope="module")
+def clip_files(tmp_path_factory):
+    """Small OpenAI-format merges file + the matching HF vocab.json."""
+    tmp = tmp_path_factory.mktemp("clip")
+    merges = [
+        "#version: 0.2",
+        "t h", "th e</w>", "a</w>", "d o", "do g</w>", "r u", "ru n</w>",
+        "o v", "ov er</w>", "e r", "er </w>",
+    ]
+    merges_path = tmp / "merges.txt.gz"
+    with gzip.open(merges_path, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges) + "\n")
+    tok = ClipBPETokenizer(str(merges_path))
+    import json
+
+    vocab_path = tmp / "vocab.json"
+    vocab_path.write_text(json.dumps(tok.encoder))
+    merges_plain = tmp / "merges_plain.txt"
+    merges_plain.write_text("\n".join(merges) + "\n")
+    return str(merges_path), str(vocab_path), str(merges_plain)
+
+
+def test_clip_bpe_matches_hf(clip_files):
+    from transformers import CLIPTokenizer
+
+    merges_gz, vocab_json, merges_plain = clip_files
+    mine = ClipBPETokenizer(merges_gz)
+    hf = CLIPTokenizer(vocab_json, merges_plain)
+    for s in ["the dog runs over there", "a over dog the", "hello, world!"]:
+        got = mine.tokenize(s)
+        want = hf(s)["input_ids"][1:-1]  # strip sot/eot
+        assert got == want, (s, got, want)
+
+
+def test_clip_encode_layout(clip_files):
+    mine = ClipBPETokenizer(clip_files[0])
+    out = mine.encode(["the dog"], context_length=10)
+    assert out.shape == (1, 10)
+    assert out[0, 0] == mine.sot
+    row = out[0][out[0] != 0]
+    assert row[-1] == mine.eot
+    # truncation keeps EOT last
+    long = mine.encode(["dog " * 50], context_length=8)
+    assert long[0, -1] == mine.eot

@@ -1,0 +1,116 @@
+"""Integration: full Trainer on a synthetic on-disk dataset
+(SURVEY.md §4 item 4) — loss decreases, eval metrics computed, checkpoint
+round-trips, resume works, optimizer policy correct."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from leccr_tpu.config import tiny_test_config
+from leccr_tpu.train.optim import classify_params
+from leccr_tpu.train.schedule import linear_warmup_decay, resolve_warmup
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    from leccr_tpu.train.trainer import Trainer
+
+    out = tmp_path_factory.mktemp("run")
+    cfg = tiny_test_config()
+    cfg.output_dir = str(out)
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 16
+    cfg.data.synthetic_eval_images = 6
+    cfg.data.synthetic_captions_per_image = 2
+    cfg.data.num_workers = 2
+    cfg.train.batch_size_train = 8
+    cfg.train.batch_size_test = 4
+    cfg.train.batch_size_test_text = 8
+    cfg.train.schedular.epochs = 2
+    cfg.train.optimizer.lr = 5e-4
+    cfg.parallel.data = 1
+    return Trainer(cfg, devices=jax.devices()[:1])
+
+
+def test_train_two_epochs_loss_decreases_and_ckpt(trainer):
+    losses = []
+    orig = trainer.train_epoch
+    for epoch in range(2):
+        stats = orig(epoch)
+        losses.append(float(stats["loss_itc_vs"]))
+    assert trainer.state.step == 2 * trainer.steps_per_epoch
+
+    # eval produces a sane metric dict
+    lang = list(trainer.test_ds)[0]
+    metrics = trainer.evaluate(trainer.test_ds[lang])
+    assert 0.0 <= metrics["txt_r1"] <= 100.0
+    assert metrics["sumr_sum"] > 0.0
+
+    # checkpoint round-trip
+    trainer.ckpt.save(trainer.state.step, trainer.state.params,
+                      trainer.state.opt_state, epoch=1,
+                      metrics={"sumr_sum": metrics["sumr_sum"]}, is_best=True)
+    trainer.ckpt.wait()
+    abstract = {"params": trainer.state.params,
+                "opt_state": trainer.state.opt_state,
+                "meta": {"step": 0, "epoch": 0}}
+    params, _, meta = trainer.ckpt.restore(abstract)
+    assert int(meta["step"]) == trainer.state.step
+    lhs = jax.tree.leaves(params)
+    rhs = jax.tree.leaves(trainer.state.params)
+    for a, b in zip(lhs, rhs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_actually_learns(tmp_path):
+    """A few steps on a fixed batch must reduce the total loss."""
+    from leccr_tpu.train.trainer import Trainer
+
+    cfg = tiny_test_config()
+    cfg.output_dir = str(tmp_path)
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 8
+    cfg.data.synthetic_eval_images = 4
+    cfg.train.batch_size_train = 8
+    cfg.train.schedular.epochs = 8
+    cfg.train.schedular.num_warmup_steps = 0
+    cfg.train.optimizer.lr = 1e-3
+    cfg.parallel.data = 1
+    tr = Trainer(cfg, devices=jax.devices()[:1])
+    first = last = None
+    for epoch in range(6):
+        stats = tr.train_epoch(epoch)
+        total = sum(float(stats[k]) for k in
+                    ("loss_itc_vs", "loss_itc_vt", "loss_itc_st"))
+        if first is None:
+            first = total
+        last = total
+    assert last < first, (first, last)
+
+
+def test_optimizer_param_groups():
+    params = {
+        "dense": {"kernel": jnp.zeros((2, 2)), "bias": jnp.zeros((2,))},
+        "norm": {"scale": jnp.ones((2,)), "bias": jnp.zeros((2,))},
+        "clip_text_tower": {"w": {"kernel": jnp.zeros((2, 2))}},
+        "temp": jnp.zeros(()),
+    }
+    labels = classify_params(params, lr_mult_paths=("temp",),
+                             frozen_paths=("clip_text_tower",))
+    assert labels["dense"]["kernel"] == "base_decay"
+    assert labels["dense"]["bias"] == "base_no_decay"
+    assert labels["norm"]["scale"] == "base_no_decay"
+    assert labels["clip_text_tower"]["w"]["kernel"] == "frozen"
+    assert labels["temp"] == "mult_decay"
+
+
+def test_schedule_shape():
+    sched = linear_warmup_decay(1e-4, total_steps=100, num_warmup_steps=0.1)
+    assert resolve_warmup(0.1, 100) == 10
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 0.5e-4)
+    np.testing.assert_allclose(float(sched(10)), 1e-4)
+    np.testing.assert_allclose(float(sched(55)), 0.5e-4)
+    assert float(sched(100)) == 0.0
