@@ -113,6 +113,9 @@ class ModelConfig:
     use_one_cl_proj_only: bool = False
     # compute dtype for the towers; params & loss math stay fp32
     dtype: str = "bfloat16"
+    # run the caption-interaction attention as fused Pallas kernels in the
+    # no-grad eval path (TPU only; training always uses XLA attention)
+    fused_eval_attention: bool = True
 
 
 @dataclass

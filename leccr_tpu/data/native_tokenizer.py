@@ -1,0 +1,92 @@
+"""ctypes binding for the native C++ WordPiece tokenizer
+(native/wordpiece.cpp).  Falls back to the pure-Python implementation when
+the shared library isn't built; `build_native()` compiles it on demand with
+the system toolchain.  Parity with data.tokenizers.WordPieceTokenizer is
+enforced in tests/test_native_tokenizer.py."""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "build" / "libleccr_native.so"
+
+
+def build_native(force: bool = False) -> Optional[Path]:
+    """Compile the shared library (make -C native); returns its path or None
+    when no toolchain is available."""
+    if _LIB_PATH.exists() and not force:
+        return _LIB_PATH
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return _LIB_PATH if _LIB_PATH.exists() else None
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = build_native()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(str(path))
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.wp_destroy.argtypes = [ctypes.c_void_p]
+    lib.wp_encode_batch.restype = ctypes.c_int
+    lib.wp_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return lib
+
+
+class NativeWordPieceTokenizer:
+    """Drop-in batch encoder backed by the C++ library.
+
+    Exposes the same `encode(texts, max_length, pad_to)` contract as the
+    Python WordPieceTokenizer.  Raises RuntimeError if the library can't be
+    built — callers should catch and fall back."""
+
+    def __init__(self, vocab_file: str, lowercase: bool = False):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native tokenizer library unavailable")
+        self._lib = lib
+        self._handle = lib.wp_create(str(vocab_file).encode(),
+                                     1 if lowercase else 0)
+        if not self._handle:
+            raise RuntimeError(f"failed to load vocab {vocab_file}")
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib:
+            self._lib.wp_destroy(self._handle)
+            self._handle = None
+
+    def encode(self, texts: Sequence[str], max_length: int,
+               pad_to: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
+        width = pad_to or max_length
+        n = len(texts)
+        ids = np.zeros((n, width), np.int32)
+        mask = np.zeros((n, width), np.int32)
+        arr = (ctypes.c_char_p * n)(
+            *[t.encode("utf-8") for t in texts])
+        rc = self._lib.wp_encode_batch(
+            self._handle, arr, n, max_length, width,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc != 0:
+            raise RuntimeError(f"wp_encode_batch failed: {rc}")
+        return ids, mask

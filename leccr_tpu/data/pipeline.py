@@ -107,28 +107,56 @@ class TrainLoader:
         self.caption_tokenizer = caption_tokenizer or tokenizer
         self._tokenize_all()
 
+    def _batch_tokenize(self, texts: List[str]) -> List[List[int]]:
+        """Tokenize a text list to unpadded id rows, preferring the native
+        C++ batch tokenizer (native/wordpiece.cpp) when available."""
+        max_len = self.cfg.max_tokens
+        if self._native is not None:
+            ids, mask = self._native.encode(texts, max_len)
+            return [row[: int(m.sum())].tolist()
+                    for row, m in zip(ids, mask)]
+        out = []
+        for text in texts:
+            toks = self.tokenizer.tokenize(text)[: max_len - 2]
+            out.append(
+                [self.tokenizer.cls_id]
+                + [self.tokenizer.vocab.get(
+                    t, self.tokenizer.vocab["[UNK]"]) for t in toks]
+                + [self.tokenizer.sep_id])
+        return out
+
     def _tokenize_all(self) -> None:
         """Offline tokenization of every (sample, language) text and every
         MLLM caption."""
         ds = self.dataset
         n_lang = len(ds.caption_maps)
+        self._native = None
+        try:
+            from leccr_tpu.data.native_tokenizer import (
+                NativeWordPieceTokenizer,
+            )
+
+            if (hasattr(self.tokenizer, "cls_id")
+                    and not self.tokenizer.lowercase):
+                self._native = NativeWordPieceTokenizer(
+                    self.tokenizer.vocab_file, lowercase=False)
+        except Exception:
+            self._native = None
         self.text_tokens: List[List[List[int]]] = [
             [None] * len(ds) for _ in range(n_lang)]
         cap = {}
         max_len = self.cfg.max_tokens
-        for i in range(len(ds)):
-            cap_id = ds.cap_ids[i]
-            from leccr_tpu.data.text import normalize_caption, video_id_of
-            for k, cmap in enumerate(ds.caption_maps):
+        from leccr_tpu.data.text import normalize_caption, video_id_of
+        for k, cmap in enumerate(ds.caption_maps):
+            texts = []
+            for i in range(len(ds)):
+                cap_id = ds.cap_ids[i]
                 key = cap_id if k == 0 else cap_id.replace(
                     "#enc#", f"#enc2{ds.languages[k - 1]}#")
-                text = normalize_caption(cmap[key], self.cfg.max_words)
-                toks = self.tokenizer.tokenize(text)[: max_len - 2]
-                self.text_tokens[k][i] = (
-                    [self.tokenizer.cls_id]
-                    + [self.tokenizer.vocab.get(
-                        t, self.tokenizer.vocab["[UNK]"]) for t in toks]
-                    + [self.tokenizer.sep_id])
+                texts.append(normalize_caption(cmap[key], self.cfg.max_words))
+            self.text_tokens[k] = self._batch_tokenize(texts)
+        for i in range(len(ds)):
+            cap_id = ds.cap_ids[i]
             image_id = video_id_of(cap_id)
             if image_id not in cap and self.cfg.generated_caption_type != "feats":
                 text = ds.generated[image_id]

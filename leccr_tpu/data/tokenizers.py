@@ -65,6 +65,7 @@ class WordPieceTokenizer:
 
     def __init__(self, vocab_file: str, lowercase: bool = False,
                  strip_accents: bool | None = None):
+        self.vocab_file = str(vocab_file)
         self.vocab: Dict[str, int] = {}
         for i, line in enumerate(
                 Path(vocab_file).read_text(encoding="utf-8").splitlines()):

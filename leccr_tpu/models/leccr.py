@@ -205,22 +205,25 @@ class LECCRModel(nn.Module):
         caption_padding_mask: Optional[jax.Array],
         vision_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        fused: bool = False,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """reference interaction_with_caption (:76-84 image, video :99-110).
 
         Returns (fused_vision [B,L,Dv], fused_slots [B,n,Dv],
-        ori_slots [B,n,Dv])."""
+        ori_slots [B,n,Dv]).  fused=True runs the attention cores as single
+        Pallas kernels (eval/serving only)."""
         b = vision_embeds.shape[0]
         queries = jnp.broadcast_to(
             self.queries[None].astype(vision_embeds.dtype),
             (b, self.cfg.num_queries, self.vision_width))
         cap = self.caption_proj(caption_embeds)
         ori_slots = self.crossattn_query(
-            queries, cap, caption_padding_mask, deterministic)
+            queries, cap, caption_padding_mask, deterministic, fused)
         fused_vision = self.crossattn(
-            vision_embeds, ori_slots, None, deterministic)
+            vision_embeds, ori_slots, None, deterministic, fused)
         fused_slots = self.crossattn2(
-            ori_slots, vision_embeds, vision_padding_mask, deterministic)
+            ori_slots, vision_embeds, vision_padding_mask, deterministic,
+            fused)
         return fused_vision, fused_slots, ori_slots
 
     # ------------------------------------------------------------ features
@@ -314,6 +317,10 @@ class LECCRModel(nn.Module):
 
         Returns {"feat": [B,E], "slots": [B,n,E]} — slots feed the video
         double-sim eval (video_Retrieval_caption_double_sim.py:169-179)."""
+        import jax as _jax
+
+        use_fused = (self.cfg.fused_eval_attention
+                     and _jax.default_backend() == "tpu")
         ori_vision, vision_mask = self.encode_vision(
             batch["vision"], batch.get("vision_mask"), True)
         caption_embeds, caption_padding = self.encode_caption(
@@ -321,7 +328,8 @@ class LECCRModel(nn.Module):
             batch.get("caption_feats"), True)
         fused_vision, fused_slots, _ = self.interact(
             ori_vision, caption_embeds, caption_padding,
-            None if vision_mask is None else ~vision_mask.astype(bool), True)
+            None if vision_mask is None else ~vision_mask.astype(bool), True,
+            fused=use_fused)
         feat = self.vision_features(fused_vision, vision_mask)
         slots = self.caption_proj1(fused_slots)
         return {"feat": feat.astype(jnp.float32),

@@ -186,6 +186,7 @@ def compute_losses(
     dstl_alpha: float = 0.8,
     num_blocks: int = 1,
     cv_loss_local: bool = False,
+    itc_loss_fn=None,
 ) -> Dict[str, jax.Array]:
     """Assemble the 5-loss objective exactly as the reference composes it
     (model_retrieval_caption.py:172-199; trainer sums the 5 returned values,
@@ -193,14 +194,15 @@ def compute_losses(
 
     Returns the individual raw losses plus the composed terms and `total`.
     cv_loss_local selects the video semantics (local caption-vision loss).
+    itc_loss_fn overrides the InfoNCE implementation — e.g. the ring
+    (parallel.ring.ring_infonce) or the fused blockwise kernel
+    (ops.infonce.infonce_loss); signature (feat_a, feat_b, temp, idx).
     """
     temp = emb.temp
-    loss_itc_vs = soft_label_contrastive_loss(
-        emb.image_feat, emb.text_feat_s, temp, idx)
-    loss_itc_vt = soft_label_contrastive_loss(
-        emb.image_feat, emb.text_feat_t, temp, idx)
-    loss_itc_st = soft_label_contrastive_loss(
-        emb.text_feat_s, emb.text_feat_t, temp, idx)
+    itc = itc_loss_fn or soft_label_contrastive_loss
+    loss_itc_vs = itc(emb.image_feat, emb.text_feat_s, temp, idx)
+    loss_itc_vt = itc(emb.image_feat, emb.text_feat_t, temp, idx)
+    loss_itc_st = itc(emb.text_feat_s, emb.text_feat_t, temp, idx)
 
     loss_itc_sc = caption_contrastive_loss(
         emb.slots, emb.text_feat_s, temp, num_blocks)

@@ -71,6 +71,7 @@ class MultiHeadAttention(nn.Module):
         value: jax.Array,
         key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        fused: bool = False,
     ) -> jax.Array:
         assert self.d_model % self.num_heads == 0
         head_dim = self.d_model // self.num_heads
@@ -83,16 +84,23 @@ class MultiHeadAttention(nn.Module):
             b, l, _ = x.shape
             return x.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        rng = None
-        if self.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-        out = dot_product_attention(
-            split(q), split(k), split(v),
-            key_padding_mask=key_padding_mask,
-            dropout_rate=self.dropout,
-            deterministic=deterministic,
-            dropout_rng=rng,
-        )
+        if fused and deterministic:
+            # no-grad eval/serving path: single fused Pallas kernel
+            from leccr_tpu.ops.pallas_attention import fused_cross_attention
+
+            out = fused_cross_attention(
+                split(q), split(k), split(v), key_padding_mask)
+        else:
+            rng = None
+            if self.dropout > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+            out = dot_product_attention(
+                split(q), split(k), split(v),
+                key_padding_mask=key_padding_mask,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                dropout_rng=rng,
+            )
         b, _, lq, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.d_model)
         return dense("out_proj")(out)
@@ -128,6 +136,7 @@ class CrossAttentionBlock(nn.Module):
         memory: jax.Array,
         memory_key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        fused: bool = False,
     ) -> jax.Array:
         attn_out = MultiHeadAttention(
             self.d_model, self.num_heads, self.dropout, self.dtype,
@@ -135,6 +144,7 @@ class CrossAttentionBlock(nn.Module):
             tgt, memory, memory,
             key_padding_mask=memory_key_padding_mask,
             deterministic=deterministic,
+            fused=fused,
         )
         ffn_out = _FFN(self.d_model, self.dropout, self.dtype, name="ffn")(
             attn_out, deterministic=deterministic)
@@ -158,13 +168,14 @@ class CrossAttentionStack(nn.Module):
         memory: jax.Array,
         memory_key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        fused: bool = False,
     ) -> jax.Array:
         out = tgt
         for i in range(self.num_layers):
             out = CrossAttentionBlock(
                 self.d_model, self.num_heads, self.dropout, self.dtype,
                 name=f"layer_{i}")(
-                out, memory, memory_key_padding_mask, deterministic)
+                out, memory, memory_key_padding_mask, deterministic, fused)
         return out
 
 

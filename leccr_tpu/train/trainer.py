@@ -197,6 +197,19 @@ class Trainer:
         num_blocks = self.mesh.shape["data"]
         is_video = self.is_video
 
+        negatives = self.cfg.parallel.negatives
+        itc_loss_fn = None
+        if negatives == "ring" and num_blocks > 1:
+            from leccr_tpu.parallel.ring import ring_infonce
+
+            mesh = self.mesh
+            itc_loss_fn = (
+                lambda a, b, t, i: ring_infonce(mesh, a, b, t, i))
+        elif negatives == "fused":
+            from leccr_tpu.ops.infonce import infonce_loss
+
+            itc_loss_fn = infonce_loss
+
         def step_fn(params, opt_state, batch, rng):
             idx = batch.pop("idx")
             flip = batch.pop("flip", None)
@@ -217,7 +230,8 @@ class Trainer:
                     weight_cv_loss=mc.weight_cv_loss,
                     dstl_alpha=mc.dstl_alpha,
                     num_blocks=num_blocks,
-                    cv_loss_local=is_video)
+                    cv_loss_local=is_video,
+                    itc_loss_fn=itc_loss_fn)
                 # DDP gradient parity (see module docstring): gathered terms
                 # scaled by 1/num_blocks, local terms (caption ITC, reg,
                 # video cv) already per-block means.

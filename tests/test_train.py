@@ -114,3 +114,13 @@ def test_schedule_shape():
     np.testing.assert_allclose(float(sched(10)), 1e-4)
     np.testing.assert_allclose(float(sched(55)), 0.5e-4)
     assert float(sched(100)) == 0.0
+
+
+def test_dryrun_multichip_8():
+    """The driver's multi-chip dry run: dp=4 x tp=2 mesh, ring negatives,
+    one real step of the full Trainer."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
