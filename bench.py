@@ -41,6 +41,9 @@ VOCAB = 119547
 
 def jax_eval_time(quick: bool = False) -> float:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from leccr_tpu.config import LECCRConfig

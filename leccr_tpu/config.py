@@ -141,6 +141,11 @@ class DataConfig:
     text_vocab: str = ""  # WordPiece vocab.txt for the text tower
     clip_bpe_vocab: str = ""  # CLIP BPE merge file (optional, caption_encoder=clip)
     lowercase: bool = False  # mBERT-cased => False
+    # RandAugment policy (reference dataset/randaugment.py; off in the live
+    # fine-tune transform, available for the pretrain transform)
+    randaugment: bool = False
+    randaugment_n: int = 2
+    randaugment_m: int = 7
     # synthetic dataset knobs (tests/bench)
     synthetic_size: int = 128
     synthetic_eval_images: int = 64
@@ -195,6 +200,12 @@ class TrainConfig:
     keep_checkpoints: int = 2
     resume: bool = False
     grad_clip: float = 0.0  # 0 = off (reference has none)
+    # score fusion at eval: "auto" = plain cosine for images
+    # (reference evaluation_coarse) and min-max double-sim for video
+    # (video_…py:169-179); "raw" = the image alpha-blend variant
+    # (image_…py:244-246); "none"/"minmax" force a mode.
+    eval_fusion: str = "auto"
+    eval_alpha: float = 0.9
 
 
 @dataclass

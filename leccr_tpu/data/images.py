@@ -113,6 +113,26 @@ def normalize_images(images_u8: jax.Array,
     return x
 
 
+def preprocess_train_images(
+    images_u8: jax.Array,
+    flip: Optional[jax.Array],
+    rng: Optional[jax.Array] = None,
+    randaugment_n: int = 0,
+    randaugment_m: int = 7,
+) -> jax.Array:
+    """Full device-side train preprocessing: /255 → (optional RandAugment
+    policy, reference dataset/__init__.py:43-51) → CLIP normalize → hflip."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    if randaugment_n > 0 and rng is not None:
+        from leccr_tpu.data.randaugment import rand_augment_batch
+
+        x = rand_augment_batch(x, rng, randaugment_n, randaugment_m)
+    x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    if flip is not None:
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    return x
+
+
 def resize_batch_on_device(images: jax.Array, image_res: int) -> jax.Array:
     """Bicubic resize of a fixed-size uint8/float batch on device (used when
     sources share a shape, e.g. packed stores or video frames)."""

@@ -198,7 +198,7 @@ class TrainLoader:
                     samples = list(pool.map(
                         lambda a: self.dataset.get(int(a[0]), a[1]),
                         zip(batch_idx, rngs)))
-                    out_q.put(self._collate(batch_idx, samples))
+                    out_q.put(self._collate(batch_idx, samples, step))
             out_q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
@@ -212,13 +212,18 @@ class TrainLoader:
         finally:
             stop.set()
 
-    def _collate(self, batch_idx, samples) -> Dict[str, np.ndarray]:
+    def _collate(self, batch_idx, samples, step: int = 0
+                 ) -> Dict[str, np.ndarray]:
         buckets = self.cfg.token_buckets
         cap_bpe = not hasattr(self.caption_tokenizer, "cls_id")
 
+        # multiple translated-target files (full-multilingual training,
+        # BASELINE.json config #3): round-robin the target language per
+        # batch.  With the reference's 2-file configs this is always file 1.
+        n_lang = len(self.text_tokens)
+        k_t = 1 + (step % (n_lang - 1)) if n_lang > 1 else 0
         toks_s = [self.text_tokens[0][int(i)] for i in batch_idx]
-        toks_t = [self.text_tokens[min(1, len(self.text_tokens) - 1)][int(i)]
-                  for i in batch_idx]
+        toks_t = [self.text_tokens[k_t][int(i)] for i in batch_idx]
         width = bucket_width(
             [len(t) for t in toks_s] + [len(t) for t in toks_t], buckets)
         ids_s, mask_s = pad_token_batch(toks_s, width)

@@ -217,8 +217,15 @@ class Trainer:
             def loss_fn(p):
                 model_batch = dict(batch)
                 if not is_video:
-                    model_batch["vision"] = normalize_images(
-                        model_batch["vision"], flip)
+                    from leccr_tpu.data.images import preprocess_train_images
+
+                    data_cfg = self.cfg.data
+                    model_batch["vision"] = preprocess_train_images(
+                        model_batch["vision"], flip,
+                        rng=jax.random.fold_in(rng, 7),
+                        randaugment_n=(data_cfg.randaugment_n
+                                       if data_cfg.randaugment else 0),
+                        randaugment_m=data_cfg.randaugment_m)
                 emb = self.model.apply(
                     {"params": p}, model_batch, deterministic=False,
                     rngs={"dropout": rng})
@@ -316,12 +323,15 @@ class Trainer:
         img_feats = np.concatenate(img_feats, axis=0)
         img_slots = np.concatenate(img_slots, axis=0)
 
-        fusion = "minmax" if self.is_video else "none"
+        fusion = self.cfg.train.eval_fusion
+        if fusion == "auto":
+            fusion = "minmax" if self.is_video else "none"
+        alpha = self.cfg.train.eval_alpha
         i2t, t2i = retrieval_ranks(
             img_feats, text_embeds, dataset.index.txt2img,
             dataset.index.img2txt,
             slots=img_slots if fusion != "none" else None,
-            fusion=fusion, alpha=0.9)
+            fusion=fusion, alpha=alpha)
         metrics = itm_metrics_from_ranks(i2t, t2i)
         if self.is_main:
             dt = str(datetime.timedelta(seconds=int(time.time() - t0)))

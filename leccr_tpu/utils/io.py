@@ -1,0 +1,116 @@
+"""Storage IO that is transparently HDFS-or-local.
+
+Capability parity with reference utils/hdfs_io.py:23-128 and
+utils/torch_io.py:15-31: paths beginning with `hdfs://` are accessed by
+shelling out to the `hdfs` CLI (the reference does exactly this), everything
+else is the local filesystem.  `sync_dir_to_remote` covers the reference's
+checkpoint-upload flow (utils/checkpointer.py:20-46) for orbax checkpoint
+directories."""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import shutil
+import subprocess
+from pathlib import Path
+from typing import IO, Iterator, List
+
+_HDFS = "hdfs://"
+
+
+def _hdfs_cmd(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(["hdfs", "dfs", *args], capture_output=True)
+
+
+def exists(path: str) -> bool:
+    if path.startswith(_HDFS):
+        return _hdfs_cmd("-test", "-e", path).returncode == 0
+    return os.path.exists(path)
+
+
+def makedirs(path: str) -> None:
+    if path.startswith(_HDFS):
+        _hdfs_cmd("-mkdir", "-p", path)
+    else:
+        Path(path).mkdir(parents=True, exist_ok=True)
+
+
+def listdir(path: str) -> List[str]:
+    if path.startswith(_HDFS):
+        out = _hdfs_cmd("-ls", path)
+        files = []
+        for line in out.stdout.decode().splitlines():
+            parts = line.split()
+            if parts and parts[-1].startswith(_HDFS):
+                files.append(parts[-1])
+        return files
+    return [os.path.join(path, p) for p in os.listdir(path)]
+
+
+def copy(src: str, dst: str) -> None:
+    s_h, d_h = src.startswith(_HDFS), dst.startswith(_HDFS)
+    if s_h and not d_h:
+        _hdfs_cmd("-get", src, dst)
+    elif d_h and not s_h:
+        _hdfs_cmd("-put", "-f", src, dst)
+    elif s_h and d_h:
+        _hdfs_cmd("-cp", src, dst)
+    else:
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+
+
+@contextlib.contextmanager
+def open_file(path: str, mode: str = "r") -> Iterator[IO]:
+    """hopen equivalent: streaming read ('r'/'rb') via `hdfs dfs -text`,
+    write ('w'/'wb') via `-put -f -` (reference hdfs_io.py:23-81)."""
+    if not path.startswith(_HDFS):
+        with open(path, mode) as f:
+            yield f
+        return
+    binary = "b" in mode
+    if mode.startswith("r"):
+        proc = subprocess.Popen(["hdfs", "dfs", "-text", path],
+                                stdout=subprocess.PIPE)
+        try:
+            yield proc.stdout if binary else _TextWrap(proc.stdout)
+        finally:
+            proc.stdout.close()
+            proc.wait()
+    elif mode.startswith(("w", "a")):
+        flag = "-appendToFile" if mode.startswith("a") else "-put"
+        args = ["hdfs", "dfs", flag] + (
+            ["-f"] if flag == "-put" else []) + ["-", path]
+        proc = subprocess.Popen(args, stdin=subprocess.PIPE)
+        try:
+            yield proc.stdin if binary else _TextWrap(proc.stdin, write=True)
+        finally:
+            proc.stdin.close()
+            proc.wait()
+    else:
+        raise ValueError(f"unsupported mode {mode}")
+
+
+class _TextWrap:
+    def __init__(self, stream, write: bool = False):
+        self._s = stream
+        self._w = write
+
+    def read(self, *a):
+        return self._s.read(*a).decode()
+
+    def write(self, text: str):
+        return self._s.write(text.encode())
+
+    def __iter__(self):
+        for line in self._s:
+            yield line.decode()
+
+
+def sync_dir_to_remote(local_dir: str, remote_dir: str) -> None:
+    """Upload a checkpoint directory to remote storage (rank-0 callers)."""
+    makedirs(remote_dir)
+    copy(local_dir, remote_dir)

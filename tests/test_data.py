@@ -170,3 +170,46 @@ def test_train_loader_batches(tmp_path):
     ids0 = np.concatenate([b["idx"] for b in l0.epoch(1)])
     ids1 = np.concatenate([b["idx"] for b in l1.epoch(1)])
     assert len(ids0) == len(ids1) == 8
+
+
+def test_randaugment_ops_shapes_and_ranges():
+    import jax
+    import jax.numpy as jnp
+    from leccr_tpu.data import randaugment as ra
+
+    img = jnp.asarray(
+        np.random.RandomState(0).rand(24, 24, 3).astype(np.float32))
+    for op in ra.OP_BANK:
+        out = op(img, 7)
+        assert out.shape == img.shape, op.__name__
+        assert float(jnp.min(out)) >= -1e-5, op.__name__
+        assert float(jnp.max(out)) <= 1.0 + 1e-5, op.__name__
+    # identity really is identity
+    np.testing.assert_array_equal(np.asarray(ra.identity(img, 7)),
+                                  np.asarray(img))
+    # full policy: deterministic per key, differs across keys
+    out1 = ra.rand_augment(img, jax.random.PRNGKey(0))
+    out2 = ra.rand_augment(img, jax.random.PRNGKey(0))
+    out3 = ra.rand_augment(img, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+    # batch version
+    batch = jnp.stack([img, img])
+    outb = ra.rand_augment_batch(batch, jax.random.PRNGKey(1))
+    assert outb.shape == batch.shape
+
+
+def test_local_io_module(tmp_path):
+    from leccr_tpu.utils import io as lio
+
+    p = tmp_path / "sub" / "f.txt"
+    lio.makedirs(str(p.parent))
+    assert lio.exists(str(p.parent))
+    with lio.open_file(str(p), "w") as f:
+        f.write("hello")
+    assert lio.exists(str(p))
+    with lio.open_file(str(p), "r") as f:
+        assert f.read() == "hello"
+    lio.copy(str(p), str(tmp_path / "g.txt"))
+    assert lio.exists(str(tmp_path / "g.txt"))
+    assert any(x.endswith("f.txt") for x in lio.listdir(str(p.parent)))

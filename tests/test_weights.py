@@ -1,0 +1,97 @@
+"""Weight-import: reference-format torch checkpoints → our param tree
+(models/weights.py), verified numerically through the converted modules."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from leccr_tpu.config import tiny_test_config
+from leccr_tpu.models.leccr import LECCRModel
+from leccr_tpu.models.weights import (
+    _convert_reference_head,
+    load_reference_checkpoint_into,
+)
+
+
+def _reference_like_head_state(d_model=64, n_q=4, embed=32, text_w=64):
+    """A torch state_dict with the reference's head module names
+    (model_retrieval_caption.py:43-53, xvlm.py:167-177)."""
+    torch.manual_seed(0)
+    sd = {}
+
+    def lin(name, i, o):
+        layer = torch.nn.Linear(i, o)
+        sd[f"{name}.weight"] = layer.weight.detach()
+        sd[f"{name}.bias"] = layer.bias.detach()
+
+    lin("caption_proj", text_w, d_model)
+    lin("caption_proj1", d_model, embed)
+    lin("cproj", d_model, d_model)
+    lin("vproj", d_model, d_model)
+    lin("text_proj", text_w, embed)
+    lin("vision_proj", d_model, embed)
+    sd["queries"] = torch.randn(n_q, 1, d_model)
+    sd["temp"] = torch.tensor(0.07)
+    for stack, layers in (("crossattn_query", 1), ("crossattn", 1),
+                          ("crossattn2", 1)):
+        for i in range(layers):
+            mha = torch.nn.MultiheadAttention(d_model, 4)
+            for k, v in mha.state_dict().items():
+                sd[f"{stack}.layers.{i}.multihead_attn.{k}"] = v
+            lin(f"{stack}.layers.{i}.linear1", d_model, d_model)
+            lin(f"{stack}.layers.{i}.linear2", d_model, d_model)
+            norm = torch.nn.LayerNorm(d_model)
+            sd[f"{stack}.layers.{i}.norm2.weight"] = norm.weight.detach()
+            sd[f"{stack}.layers.{i}.norm2.bias"] = norm.bias.detach()
+    return sd
+
+
+def test_convert_reference_head_maps_everything():
+    sd = _reference_like_head_state()
+    head = _convert_reference_head(sd)
+    assert set(head) >= {"caption_proj", "caption_proj1", "cproj", "vproj",
+                         "text_proj", "vision_proj", "queries", "temp",
+                         "crossattn_query", "crossattn", "crossattn2"}
+    np.testing.assert_allclose(
+        head["caption_proj"]["kernel"],
+        sd["caption_proj.weight"].numpy().T)
+    assert head["queries"].shape == (4, 64)
+    assert head["temp"].shape == ()
+    layer = head["crossattn"]["layer_0"]
+    assert set(layer) == {"attn", "ffn", "norm"}
+    assert layer["attn"]["q_proj"]["kernel"].shape == (64, 64)
+
+
+def test_load_reference_checkpoint_into_model(tmp_path):
+    cfg = tiny_test_config()
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(0)
+    batch = {
+        "vision": jnp.asarray(rs.randn(2, 64, 64, 3), jnp.float32),
+        "text_ids_s": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "text_mask_s": jnp.ones((2, 8), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "text_mask_t": jnp.ones((2, 8), jnp.int32),
+        "caption_ids": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "caption_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    sd = _reference_like_head_state(
+        d_model=64, n_q=cfg.model.num_queries, embed=cfg.model.embed_dim,
+        text_w=cfg.model.text.hidden_size)
+    ckpt_path = tmp_path / "checkpoint_best.pth"
+    torch.save({"model": sd}, str(ckpt_path))
+
+    new_params = load_reference_checkpoint_into(
+        jax.tree.map(np.asarray, params), str(ckpt_path), cfg)
+    np.testing.assert_allclose(
+        new_params["caption_proj"]["kernel"],
+        sd["caption_proj.weight"].numpy().T)
+    np.testing.assert_allclose(new_params["temp"], 0.07, rtol=1e-6)
+    # model still runs with grafted params
+    emb = model.apply({"params": new_params}, batch)
+    assert np.isfinite(np.asarray(emb.image_feat)).all()
