@@ -116,6 +116,10 @@ class ModelConfig:
     # run the caption-interaction attention as fused Pallas kernels in the
     # no-grad eval path (TPU only; training always uses XLA attention)
     fused_eval_attention: bool = True
+    # rematerialize tower blocks in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(layers) less activation memory —
+    # required for the 32k-negative scale config
+    remat: bool = False
 
 
 @dataclass

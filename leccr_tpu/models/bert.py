@@ -82,6 +82,7 @@ class BertEncoder(nn.Module):
 
     cfg: TextConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -109,7 +110,11 @@ class BertEncoder(nn.Module):
                               name="embeddings_ln")(hidden)
         hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic)
 
+        # static_argnums: `deterministic` (arg 3, counting self) is a python
+        # bool that gates dropout branches
+        layer_cls = (nn.remat(_BertLayer, static_argnums=(3,))
+                     if self.remat else _BertLayer)
         for i in range(cfg.num_layers):
-            hidden = _BertLayer(cfg, self.dtype, name=f"layer_{i}")(
+            hidden = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
                 hidden, attention_mask, deterministic)
         return hidden

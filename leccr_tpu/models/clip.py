@@ -108,12 +108,15 @@ class _Transformer(nn.Module):
     heads: int
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        block_cls = (nn.remat(_ResidualBlock) if self.remat
+                     else _ResidualBlock)
         for i in range(self.layers):
-            x = _ResidualBlock(self.width, self.heads, self.causal, self.dtype,
-                               name=f"resblock_{i}")(x)
+            x = block_cls(self.width, self.heads, self.causal, self.dtype,
+                          name=f"resblock_{i}")(x)
         return x
 
 
@@ -150,6 +153,7 @@ class CLIPVisionTower(nn.Module):
     patch_size: int
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, image: jax.Array) -> jax.Array:
@@ -176,7 +180,7 @@ class CLIPVisionTower(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         x = _Transformer(self.width, self.layers, self.heads, dtype=self.dtype,
-                         name="transformer")(x)
+                         remat=self.remat, name="transformer")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
         proj = self.param(
             "proj", nn.initializers.normal(self.width ** -0.5),
@@ -198,6 +202,7 @@ class CLIPTextTower(nn.Module):
     vocab_size: int = 49408
     context_length: int = 77
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, text_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -208,7 +213,8 @@ class CLIPTextTower(nn.Module):
             (self.context_length, self.width))
         x = tok + pos[None, : text_ids.shape[1]].astype(self.dtype)
         x = _Transformer(self.width, self.layers, self.heads, causal=True,
-                         dtype=self.dtype, name="transformer")(x)
+                         dtype=self.dtype, remat=self.remat,
+                         name="transformer")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         proj = self.param(
             "text_projection", nn.initializers.normal(self.width ** -0.5),
@@ -220,7 +226,8 @@ class CLIPTextTower(nn.Module):
         return pooled, hidden
 
 
-def build_vision_tower(cfg, dtype=jnp.float32) -> Tuple[CLIPVisionTower, int]:
+def build_vision_tower(cfg, dtype=jnp.float32, remat=False
+                       ) -> Tuple[CLIPVisionTower, int]:
     """Build a CLIPVisionTower from a VisionConfig; returns (tower, width seen
     by the retrieval head)."""
     var = CLIP_VARIANTS[cfg.variant]
@@ -230,5 +237,6 @@ def build_vision_tower(cfg, dtype=jnp.float32) -> Tuple[CLIPVisionTower, int]:
     embed_dim = var.embed_dim if not cfg.width else width
     tower = CLIPVisionTower(
         width=width, layers=depth, heads=heads,
-        patch_size=var.patch_size, embed_dim=embed_dim, dtype=dtype)
+        patch_size=var.patch_size, embed_dim=embed_dim, dtype=dtype,
+        remat=remat)
     return tower, embed_dim

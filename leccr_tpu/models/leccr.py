@@ -80,7 +80,7 @@ class LECCRModel(nn.Module):
 
         if cfg.vision.kind == "clip_vit":
             self.vision_tower, self.vision_width = build_vision_tower(
-                cfg.vision, dtype=dtype)
+                cfg.vision, dtype=dtype, remat=cfg.remat)
         elif cfg.vision.kind == "temporal":
             self.vision_width = cfg.vision.frame_feat_dim
             self.vision_tower = TemporalTower(
@@ -93,7 +93,8 @@ class LECCRModel(nn.Module):
         else:
             raise ValueError(f"unknown vision tower: {cfg.vision.kind}")
 
-        self.text_encoder = BertEncoder(cfg.text, dtype=dtype)
+        self.text_encoder = BertEncoder(cfg.text, dtype=dtype,
+                                        remat=cfg.remat)
         self.text_width = cfg.text.hidden_size
 
         if cfg.caption_encoder_name == "mbert":

@@ -1,0 +1,180 @@
+"""Serving API: load a trained LECCR checkpoint and run retrieval online.
+
+The reference has no serving story (eval scripts only); this module provides
+the production path implied by its capability set: embed texts/images once,
+keep the index on device, answer top-K queries with a single fused
+matmul+top_k per batch.
+
+    emb = Embedder.from_checkpoint("out/m30k_fr/config.json")
+    index = emb.build_image_index(image_paths, mllm_captions)
+    hits = emb.search_texts(["ein mann fährt rad"], index, k=10)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leccr_tpu.config import LECCRConfig
+from leccr_tpu.data.images import load_eval_image, normalize_images
+from leccr_tpu.data.tokenizers import ClipBPETokenizer, WordPieceTokenizer
+from leccr_tpu.models.leccr import LECCRModel
+
+
+@dataclasses.dataclass
+class ImageIndex:
+    feats: jax.Array  # [N, E] L2-normalized, device-resident
+    slots: Optional[jax.Array]  # [N, n_q, E] (double-sim fusion)
+    ids: List[str]
+
+
+class Embedder:
+    def __init__(self, cfg: LECCRConfig, params, batch_size: int = 64):
+        self.cfg = cfg
+        self.model = LECCRModel(cfg.model)
+        self.params = params
+        self.batch_size = batch_size
+        self.tokenizer = WordPieceTokenizer(
+            cfg.data.text_vocab, lowercase=cfg.data.lowercase)
+        self.caption_tokenizer = (
+            ClipBPETokenizer(cfg.data.clip_bpe_vocab)
+            if cfg.model.caption_encoder_name == "clip" else self.tokenizer)
+        self._embed_texts = jax.jit(lambda p, i, m: self.model.apply(
+            {"params": p}, i, m, method="embed_texts"))
+        self._embed_images = jax.jit(lambda p, b: self.model.apply(
+            {"params": p}, b, method="embed_images"))
+        self._topk = jax.jit(
+            lambda q, f, k: jax.lax.top_k(q @ f.T, k),
+            static_argnums=2)
+
+    @classmethod
+    def from_checkpoint(cls, config_path: str,
+                        checkpoint: Optional[str] = None,
+                        batch_size: int = 64) -> "Embedder":
+        from leccr_tpu.config import load_config
+        from leccr_tpu.train.checkpoints import CheckpointManager
+
+        cfg = load_config(config_path)
+        model = LECCRModel(cfg.model)
+        rs = np.random.RandomState(0)
+        width = cfg.data.token_buckets[0]
+        vocab = cfg.model.text.vocab_size
+        init_batch: Dict[str, np.ndarray] = {
+            "text_ids_s": rs.randint(1, vocab, (1, width)).astype(np.int32),
+            "text_mask_s": np.ones((1, width), np.int32),
+            "text_ids_t": rs.randint(1, vocab, (1, width)).astype(np.int32),
+            "text_mask_t": np.ones((1, width), np.int32),
+            "caption_ids": rs.randint(1, vocab, (1, width)).astype(np.int32),
+            "caption_mask": np.ones((1, width), np.int32),
+        }
+        if cfg.model.vision.kind == "temporal":
+            init_batch["vision"] = np.zeros(
+                (1, cfg.model.vision.max_frames,
+                 cfg.model.vision.frame_feat_dim), np.float32)
+            init_batch["vision_mask"] = np.ones(
+                (1, cfg.model.vision.max_frames), bool)
+        else:
+            res = cfg.model.vision.image_res
+            init_batch["vision"] = np.zeros((1, res, res, 3), np.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            init_batch)["params"]
+        if checkpoint:
+            from leccr_tpu.models.weights import load_initial_checkpoint
+
+            params = load_initial_checkpoint(checkpoint, params, cfg)
+        else:
+            mgr = CheckpointManager(cfg.output_dir)
+            if mgr.latest_step() is not None:
+                abstract = {"params": params, "opt_state": None,
+                            "meta": {"step": 0, "epoch": 0}}
+                try:
+                    params, _, _ = mgr.restore(abstract)
+                except Exception:
+                    pass
+        return cls(cfg, params, batch_size)
+
+    # ------------------------------------------------------------- texts
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        out = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i: i + bs])
+            n = len(chunk)
+            chunk += [""] * (bs - n)
+            ids, mask = self.tokenizer.encode(chunk, self.cfg.data.max_tokens)
+            emb = self._embed_texts(self.params, ids, mask)
+            out.append(np.asarray(emb[:n]))
+        return np.concatenate(out, axis=0)
+
+    # ------------------------------------------------------------ images
+
+    def _caption_batch(self, captions: Sequence[str]) -> Dict[str, np.ndarray]:
+        if hasattr(self.caption_tokenizer, "cls_id"):
+            ids, mask = self.caption_tokenizer.encode(
+                list(captions), self.cfg.data.max_tokens)
+        else:
+            ids = self.caption_tokenizer.encode(list(captions))
+            mask = (ids != 0).astype(np.int32)
+        return {"caption_ids": ids, "caption_mask": mask}
+
+    def build_image_index(
+        self,
+        images: Sequence[str] | np.ndarray,
+        mllm_captions: Sequence[str],
+        ids: Optional[List[str]] = None,
+    ) -> ImageIndex:
+        """images: file paths (decoded+resized on host) or a pre-sized uint8
+        array [N, H, W, 3]."""
+        res = self.cfg.model.vision.image_res
+        n = len(images)
+        feats, slots = [], []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            chunk = images[i: i + bs]
+            if isinstance(chunk[0], str):
+                arr = np.stack([load_eval_image(p, res) for p in chunk])
+            else:
+                arr = np.asarray(chunk)
+            count = arr.shape[0]
+            if count < bs:
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[-1:], bs - count, 0)])
+            caps = list(mllm_captions[i: i + count])
+            caps += [caps[-1]] * (bs - count)
+            batch = self._caption_batch(caps)
+            batch["vision"] = normalize_images(jnp.asarray(arr))
+            out = self._embed_images(self.params, batch)
+            feats.append(np.asarray(out["feat"][:count]))
+            slots.append(np.asarray(out["slots"][:count]))
+        return ImageIndex(
+            feats=jnp.asarray(np.concatenate(feats)),
+            slots=jnp.asarray(np.concatenate(slots)),
+            ids=list(ids) if ids else [str(i) for i in range(n)])
+
+    # ------------------------------------------------------------ search
+
+    def search_texts(self, queries: Sequence[str], index: ImageIndex,
+                     k: int = 10) -> List[List[Tuple[str, float]]]:
+        """text → image retrieval: top-k images per query."""
+        q = jnp.asarray(self.embed_texts(queries))
+        k = min(k, index.feats.shape[0])
+        scores, idxs = self._topk(q, index.feats, k)
+        scores, idxs = np.asarray(scores), np.asarray(idxs)
+        return [[(index.ids[j], float(s)) for j, s in zip(row_i, row_s)]
+                for row_i, row_s in zip(idxs, scores)]
+
+    def search_images(self, index: ImageIndex, texts: Sequence[str],
+                      k: int = 10) -> List[List[Tuple[int, float]]]:
+        """image → text retrieval over an embedded text corpus."""
+        t = jnp.asarray(self.embed_texts(texts))
+        k = min(k, t.shape[0])
+        scores, idxs = self._topk(index.feats, t, k)
+        return [[(int(j), float(s)) for j, s in zip(ri, rs)]
+                for ri, rs in zip(np.asarray(idxs), np.asarray(scores))]

@@ -103,6 +103,13 @@ class TrainState:
 class Trainer:
     def __init__(self, cfg: LECCRConfig, devices=None):
         self.cfg = cfg
+        try:  # persistent XLA compile cache: restarts/epochs skip recompiles
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/jax_cache_leccr")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
         self.mesh = make_mesh(cfg.parallel, devices)
         self.is_video = cfg.model.vision.kind == "temporal"
         self.model = LECCRModel(cfg.model)

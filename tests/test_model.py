@@ -136,3 +136,26 @@ def test_video_forward():
         weight_dstl_loss=0.5, weight_cv_loss=0.01, num_blocks=2,
         cv_loss_local=True)
     assert np.isfinite(float(out["total"]))
+
+
+def test_remat_matches_non_remat():
+    """jax.checkpoint on tower blocks must not change values."""
+    cfg = tiny_test_config()
+    cfg.model.remat = False
+    rs = np.random.RandomState(3)
+    batch = _image_batch(rs, cfg)
+    m1 = LECCRModel(cfg.model)
+    params = m1.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    e1 = m1.apply({"params": params}, batch)
+
+    cfg2 = tiny_test_config()
+    cfg2.model.remat = True
+    m2 = LECCRModel(cfg2.model)
+    e2 = m2.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(e1.image_feat),
+                               np.asarray(e2.image_feat), atol=1e-6)
+    # and gradients still flow
+    g = jax.grad(lambda p: float(0) + jnp.sum(
+        m2.apply({"params": p}, batch).image_feat))(params)
+    assert np.isfinite(
+        float(jnp.sum(jnp.abs(g["text_proj"]["kernel"]))))
