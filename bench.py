@@ -101,6 +101,8 @@ def jax_eval_time(quick: bool = False) -> float:
         np.asarray(rs.randn(n_img, 256), np.float32),
         np.asarray(rs.randn(n_txt, 256), np.float32), txt2img, img2txt)
 
+    # all batches dispatch asynchronously; embeddings stay ON DEVICE and are
+    # concatenated there — the only host sync is the final rank fetch
     t0 = time.time()
     text_embeds = []
     for i in range(0, n_txt, TEXT_BS):
@@ -111,10 +113,10 @@ def jax_eval_time(quick: bool = False) -> float:
             ids = np.pad(ids, ((0, pad), (0, 0)))
             msk = np.pad(msk, ((0, pad), (0, 0)))
         out = embed_texts(params, ids, msk)
-        text_embeds.append(np.asarray(out)[: min(TEXT_BS, n_txt - i)])
-    text_embeds = np.concatenate(text_embeds)
+        text_embeds.append(out[: min(TEXT_BS, n_txt - i)])
+    text_embeds = jnp.concatenate(text_embeds)
 
-    feats, slots = [], []
+    feats = []
     for i in range(0, n_img, IMG_BS):
         batch = {
             "vision": normalize_images(jnp.asarray(images[i: i + IMG_BS])),
@@ -122,8 +124,8 @@ def jax_eval_time(quick: bool = False) -> float:
             "caption_mask": cap_mask[i: i + IMG_BS],
         }
         out = embed_images(params, batch)
-        feats.append(np.asarray(out["feat"]))
-    img_feats = np.concatenate(feats)
+        feats.append(out["feat"])
+    img_feats = jnp.concatenate(feats)
 
     i2t, t2i = retrieval_ranks(img_feats, text_embeds, txt2img, img2txt)
     elapsed = time.time() - t0

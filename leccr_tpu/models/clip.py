@@ -233,7 +233,8 @@ def build_vision_tower(cfg, dtype=jnp.float32, remat=False
     var = CLIP_VARIANTS[cfg.variant]
     width = cfg.width or var.vision_width
     depth = cfg.depth or var.vision_layers
-    heads = max(1, width // 64)
+    heads = (var.vision_heads if width == var.vision_width
+             else max(1, width // 64))
     embed_dim = var.embed_dim if not cfg.width else width
     tower = CLIPVisionTower(
         width=width, layers=depth, heads=heads,

@@ -282,9 +282,21 @@ class Trainer:
         rep = NamedSharding(self.mesh, P())
         base_rng = jax.random.PRNGKey(self.cfg.train.seed + 17)
 
-        for batch in logger.log_every(
-                self.train_loader.epoch(epoch), self.cfg.train.log_every,
-                header, total=self.steps_per_epoch):
+        # device-scalar losses are buffered and synced only at print
+        # boundaries so host logging never stalls the device pipeline
+        pending: list = []
+
+        def drain():
+            for step_no, dev_losses in pending:
+                logger.update(
+                    lr=float(self.schedule(step_no)),
+                    **{k: float(dev_losses[k]) for k in LOSS_KEYS})
+            pending.clear()
+
+        log_every = self.cfg.train.log_every
+        for i, batch in enumerate(logger.log_every(
+                self.train_loader.epoch(epoch), log_every,
+                header, total=self.steps_per_epoch)):
             rng = jax.device_put(
                 jax.random.fold_in(base_rng, self.state.step), rep)
             batch = jax.tree.map(
@@ -292,9 +304,10 @@ class Trainer:
             params, opt_state, losses = self._train_step(
                 self.state.params, self.state.opt_state, batch, rng)
             self.state = TrainState(params, opt_state, self.state.step + 1)
-            logger.update(
-                lr=float(self.schedule(self.state.step)),
-                **{k: float(losses[k]) for k in LOSS_KEYS})
+            pending.append((self.state.step, losses))
+            if (i + 1) % log_every == 0:
+                drain()
+        drain()
         if self.is_main:
             print("Averaged stats:", logger)
         return {k: f"{m.global_avg:.5f}" for k, m in logger.meters.items()}
@@ -313,11 +326,14 @@ class Trainer:
             caption_tokenizer=self.caption_tokenizer,
             num_workers=self.cfg.data.num_workers)
 
+        # async dispatch: embeddings stay on device; the only host sync is
+        # the final rank fetch (the reference round-trips the full N x N
+        # matrix to host instead, image_…py:163)
         text_embeds = []
         for ids, mask, n in loader.text_batches():
             out = self._embed_texts(self.state.params, ids, mask)
-            text_embeds.append(np.asarray(out[:n]))
-        text_embeds = np.concatenate(text_embeds, axis=0)
+            text_embeds.append(out[:n])
+        text_embeds = jnp.concatenate(text_embeds, axis=0)
 
         img_feats, img_slots = [], []
         for batch, count in loader.image_batches():
@@ -325,10 +341,10 @@ class Trainer:
                 batch["vision"] = normalize_images(
                     jnp.asarray(batch["vision"]))
             out = self._embed_images(self.state.params, batch)
-            img_feats.append(np.asarray(out["feat"][:count]))
-            img_slots.append(np.asarray(out["slots"][:count]))
-        img_feats = np.concatenate(img_feats, axis=0)
-        img_slots = np.concatenate(img_slots, axis=0)
+            img_feats.append(out["feat"][:count])
+            img_slots.append(out["slots"][:count])
+        img_feats = jnp.concatenate(img_feats, axis=0)
+        img_slots = jnp.concatenate(img_slots, axis=0)
 
         fusion = self.cfg.train.eval_fusion
         if fusion == "auto":
