@@ -210,13 +210,21 @@ def compute_losses(
         emb.slots, emb.text_feat_t, temp, num_blocks)
     loss_itc_c = loss_itc_sc + loss_itc_tc
 
-    loss_dstl = dstl_loss(
-        emb.image_feat, emb.slots, emb.text_feat_s, emb.text_feat_t,
-        dstl_alpha) * weight_dstl_loss
+    # zero-weight losses are skipped entirely: dstl materializes full BxB
+    # logit matrices, which must not be built at ring scale
+    if weight_dstl_loss != 0.0:
+        loss_dstl = dstl_loss(
+            emb.image_feat, emb.slots, emb.text_feat_s, emb.text_feat_t,
+            dstl_alpha) * weight_dstl_loss
+    else:
+        loss_dstl = jnp.float32(0.0)
 
-    loss_cv = caption_vision_loss(
-        emb.cv_caption_mean, emb.cv_vision_mean, idx,
-        num_blocks if cv_loss_local else 1) * weight_cv_loss
+    if weight_cv_loss != 0.0:
+        loss_cv = caption_vision_loss(
+            emb.cv_caption_mean, emb.cv_vision_mean, idx,
+            num_blocks if cv_loss_local else 1) * weight_cv_loss
+    else:
+        loss_cv = jnp.float32(0.0)
     loss_reg = caption_regularization(emb.ori_slots)
 
     term_vs = loss_itc_vs + loss_cv

@@ -32,6 +32,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from leccr_tpu.config import LECCRConfig
@@ -263,8 +264,6 @@ class Trainer:
             (_, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, new_opt = self.tx.update(grads, opt_state, params)
-            import optax
-
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt, losses
 

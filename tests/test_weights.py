@@ -95,3 +95,105 @@ def test_load_reference_checkpoint_into_model(tmp_path):
     # model still runs with grafted params
     emb = model.apply({"params": new_params}, batch)
     assert np.isfinite(np.asarray(emb.image_feat)).all()
+
+
+def _openai_style_clip_sd(width=64, layers=2, patch=32, embed=64, grid=2):
+    """state_dict with OpenAI CLIP naming (visual.* / transformer.*)."""
+    torch.manual_seed(1)
+    sd = {
+        "visual.conv1.weight": torch.randn(width, 3, patch, patch),
+        "visual.class_embedding": torch.randn(width),
+        "visual.positional_embedding": torch.randn(grid * grid + 1, width),
+        "visual.proj": torch.randn(width, embed),
+        "visual.ln_pre.weight": torch.ones(width),
+        "visual.ln_pre.bias": torch.zeros(width),
+        "visual.ln_post.weight": torch.ones(width),
+        "visual.ln_post.bias": torch.zeros(width),
+    }
+    for i in range(layers):
+        p = f"visual.transformer.resblocks.{i}"
+        sd[f"{p}.attn.in_proj_weight"] = torch.randn(3 * width, width)
+        sd[f"{p}.attn.in_proj_bias"] = torch.randn(3 * width)
+        sd[f"{p}.attn.out_proj.weight"] = torch.randn(width, width)
+        sd[f"{p}.attn.out_proj.bias"] = torch.randn(width)
+        for ln in ("ln_1", "ln_2"):
+            sd[f"{p}.{ln}.weight"] = torch.ones(width)
+            sd[f"{p}.{ln}.bias"] = torch.zeros(width)
+        sd[f"{p}.mlp.c_fc.weight"] = torch.randn(4 * width, width)
+        sd[f"{p}.mlp.c_fc.bias"] = torch.randn(4 * width)
+        sd[f"{p}.mlp.c_proj.weight"] = torch.randn(width, 4 * width)
+        sd[f"{p}.mlp.c_proj.bias"] = torch.randn(width)
+    return sd
+
+
+def test_load_openai_clip_into(tmp_path):
+    from leccr_tpu.models.weights import load_initial_checkpoint
+
+    cfg = tiny_test_config()  # ViT-B/32 variant, width=64, depth=2, res=64
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(0)
+    batch = {
+        "vision": jnp.asarray(rs.randn(1, 64, 64, 3), jnp.float32),
+        "text_ids_s": jnp.asarray(rs.randint(1, 512, (1, 8))),
+        "text_mask_s": jnp.ones((1, 8), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(1, 512, (1, 8))),
+        "text_mask_t": jnp.ones((1, 8), jnp.int32),
+        "caption_ids": jnp.asarray(rs.randint(1, 512, (1, 8))),
+        "caption_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    # our tiny config: width 64, 2 layers, patch 32, grid @ res64 = 2
+    import leccr_tpu.models.clip as clip_mod
+
+    clip_mod.CLIP_VARIANTS["tiny/32"] = clip_mod.CLIPVariant(
+        64, 2, 2, 32, 64, 64, 2, 2)
+    cfg.model.vision.variant = "tiny/32"
+    sd = _openai_style_clip_sd()
+    path = tmp_path / "ViT-tiny.pt"
+    torch.save(sd, str(path))
+    new = load_initial_checkpoint(str(path), params, cfg)
+    np.testing.assert_allclose(
+        np.asarray(new["vision_tower"]["proj"]),
+        sd["visual.proj"].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new["vision_tower"]["conv1"]["kernel"]),
+        sd["visual.conv1.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+
+
+def test_load_hf_bert_into(tmp_path):
+    from transformers import BertConfig, BertModel
+
+    from leccr_tpu.models.weights import load_initial_checkpoint
+
+    cfg = tiny_test_config()
+    cfg.model.text.vocab_size = 128
+    cfg.model.text.hidden_size = 64
+    cfg.model.text.num_layers = 2
+    cfg.model.text.num_heads = 4
+    cfg.model.text.intermediate_size = 128
+    cfg.model.text.max_position_embeddings = 64
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(0)
+    batch = {
+        "vision": jnp.asarray(rs.randn(1, 64, 64, 3), jnp.float32),
+        "text_ids_s": jnp.asarray(rs.randint(1, 128, (1, 8))),
+        "text_mask_s": jnp.ones((1, 8), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(1, 128, (1, 8))),
+        "text_mask_t": jnp.ones((1, 8), jnp.int32),
+        "caption_ids": jnp.asarray(rs.randint(1, 128, (1, 8))),
+        "caption_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    torch.manual_seed(2)
+    hf = BertModel(BertConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64))
+    path = tmp_path / "pytorch_model.bin"
+    torch.save(hf.state_dict(), str(path))
+    new = load_initial_checkpoint(str(path), params, cfg)
+    np.testing.assert_allclose(
+        np.asarray(new["text_encoder"]["word_embeddings"]["embedding"]),
+        hf.embeddings.word_embeddings.weight.detach().numpy(), rtol=1e-6)
