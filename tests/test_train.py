@@ -124,3 +124,35 @@ def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_video_trainer_end_to_end(tmp_path):
+    """vtr_caption path: synthetic BigFile dataset -> temporal tower ->
+    double-sim eval (reference video_Retrieval_caption_double_sim.py)."""
+    from leccr_tpu.data.synthetic import make_video_dataset
+    from leccr_tpu.train.trainer import Trainer
+
+    data_cfg = make_video_dataset(str(tmp_path / "vds"), n_train=8, n_eval=4,
+                                  feat_dim=32, frames_per_video=5)
+    cfg = tiny_test_config()
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.model.vision.kind = "temporal"
+    cfg.model.vision.frame_feat_dim = 32
+    cfg.model.vision.num_layers = 1
+    cfg.model.vision.num_heads = 4
+    cfg.model.vision.max_frames = 6
+    cfg.model.num_queries = 2  # reference msrvtt config
+    cfg.data = data_cfg
+    cfg.train.batch_size_train = 8
+    cfg.train.batch_size_test = 4
+    cfg.train.batch_size_test_text = 8
+    cfg.train.schedular.epochs = 1
+    cfg.parallel.data = 1
+    tr = Trainer(cfg, devices=jax.devices()[:1])
+    assert tr.is_video
+    stats = tr.train_epoch(0)
+    assert np.isfinite(float(stats["loss_itc_vs"]))
+    lang = list(tr.test_ds)[0]
+    metrics = tr.evaluate(tr.test_ds[lang])  # minmax double-sim fusion
+    assert 0.0 <= metrics["txt_r1"] <= 100.0
+    assert metrics["sumr_sum"] > 0
