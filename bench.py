@@ -57,6 +57,8 @@ def jax_eval_time(quick: bool = False) -> float:
     cfg = LECCRConfig()
     cfg.model.vision.image_res = IMAGE_RES
     cfg.model.dtype = "bfloat16"
+    cfg.model.fused_eval_attention = (
+        os.environ.get("LECCR_FUSED_EVAL", "1") != "0")
     model = LECCRModel(cfg.model)
 
     rs = np.random.RandomState(0)
@@ -67,7 +69,7 @@ def jax_eval_time(quick: bool = False) -> float:
         "caption_ids": rs.randint(1, VOCAB, (IMG_BS, width)).astype(np.int32),
         "caption_mask": np.ones((IMG_BS, width), np.int32),
     }
-    params = model.init(
+    params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)},
         {**init_batch,
          "vision": normalize_images(jnp.asarray(init_batch["vision"])),

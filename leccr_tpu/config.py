@@ -210,6 +210,11 @@ class TrainConfig:
     # (image_…py:244-246); "none"/"minmax" force a mode.
     eval_fusion: str = "auto"
     eval_alpha: float = 0.9
+    # crash/preemption safety: also checkpoint every N optimizer steps
+    # (0 = per-epoch only); resume restarts from the owning epoch
+    checkpoint_every_steps: int = 0
+    # raise at the producing op on any NaN under jit (jax_debug_nans)
+    debug_nans: bool = False
 
 
 @dataclass

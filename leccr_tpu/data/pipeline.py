@@ -271,6 +271,37 @@ class TrainLoader:
         return batch
 
 
+def device_prefetch(iterator, sharding, depth: int = 2):
+    """Wrap a host-batch iterator so the next `depth` batches are copied to
+    device (sharded) on a background thread while the current step computes —
+    transfer rides under compute instead of serializing with it."""
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                q.put(jax.tree.map(
+                    lambda x: jax.device_put(x, sharding), batch))
+        finally:
+            q.put(None)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 class EvalLoader:
     """Eval batches: text chunks (padded to max_tokens, reference
     image_Retrieval_caption.py:105) and image/caption batches padded to a

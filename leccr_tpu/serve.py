@@ -82,8 +82,8 @@ class Embedder:
         else:
             res = cfg.model.vision.image_res
             init_batch["vision"] = np.zeros((1, res, res, 3), np.float32)
-        params = model.init({"params": jax.random.PRNGKey(0)},
-                            init_batch)["params"]
+        params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                     init_batch)["params"]
         if checkpoint:
             from leccr_tpu.models.weights import load_initial_checkpoint
 

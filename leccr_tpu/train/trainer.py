@@ -111,6 +111,10 @@ class Trainer:
                               1.0)
         except Exception:
             pass
+        if cfg.train.debug_nans:
+            from leccr_tpu.utils.debug import enable_nan_checks
+
+            enable_nan_checks(True)
         self.mesh = make_mesh(cfg.parallel, devices)
         self.is_video = cfg.model.vision.kind == "temporal"
         self.model = LECCRModel(cfg.model)
@@ -181,7 +185,9 @@ class Trainer:
     def _init_state(self) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         batch = self._example_batch()
-        params = self.model.init(
+        # jit the init: one compiled program instead of hundreds of eager
+        # per-param dispatches (matters over remote-device transports)
+        params = jax.jit(self.model.init)(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
             batch)["params"]
         self.tx = build_optimizer(
@@ -292,20 +298,27 @@ class Trainer:
                     **{k: float(dev_losses[k]) for k in LOSS_KEYS})
             pending.clear()
 
+        from leccr_tpu.data.pipeline import device_prefetch
+
         log_every = self.cfg.train.log_every
+        batches = device_prefetch(
+            self.train_loader.epoch(epoch), data_sharding, depth=2)
         for i, batch in enumerate(logger.log_every(
-                self.train_loader.epoch(epoch), log_every,
-                header, total=self.steps_per_epoch)):
+                batches, log_every, header, total=self.steps_per_epoch)):
             rng = jax.device_put(
                 jax.random.fold_in(base_rng, self.state.step), rep)
-            batch = jax.tree.map(
-                lambda x: jax.device_put(x, data_sharding), batch)
             params, opt_state, losses = self._train_step(
                 self.state.params, self.state.opt_state, batch, rng)
             self.state = TrainState(params, opt_state, self.state.step + 1)
             pending.append((self.state.step, losses))
             if (i + 1) % log_every == 0:
                 drain()
+            every = self.cfg.train.checkpoint_every_steps
+            if every > 0 and self.state.step % every == 0 and self.is_main:
+                # preemption-safe mid-epoch snapshot (async; resume restarts
+                # from the owning epoch boundary)
+                self.ckpt.save(self.state.step, self.state.params,
+                               self.state.opt_state, epoch=epoch - 1)
         drain()
         if self.is_main:
             print("Averaged stats:", logger)

@@ -45,7 +45,7 @@ def main(fused: bool):
     txt_ids = jnp.asarray(rs.randint(1, VOCAB, (TEXT_BS, W)))
     txt_mask = jnp.ones((TEXT_BS, W), jnp.int32)
     t0 = time.time()
-    params = model.init({"params": jax.random.PRNGKey(0)},
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
                         {**img_batch,
                          "text_ids_s": img_batch["caption_ids"],
                          "text_mask_s": img_batch["caption_mask"],
