@@ -194,11 +194,12 @@ class Trainer:
             self.cfg.train.optimizer, params, self.schedule,
             frozen_paths=("clip_text_tower",),
             grad_clip=self.cfg.train.grad_clip)
-        opt_state = self.tx.init(params)
         shardings = params_shardings(self.mesh, params)
         params = jax.device_put(params, shardings)
-        rep = NamedSharding(self.mesh, P())
-        opt_state = jax.device_put(opt_state, rep)
+        # init the optimizer state under jit so XLA propagates the param
+        # shardings into the Adam moments (replicating 2x 277M fp32 moments
+        # across a model-parallel mesh would defeat the sharding)
+        opt_state = jax.jit(self.tx.init)(params)
         n_params = sum(x.size for x in jax.tree.leaves(params))
         if self.is_main:
             print(f"### Total Params: {n_params}")
