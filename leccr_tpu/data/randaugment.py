@@ -17,8 +17,6 @@ edge padding.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 

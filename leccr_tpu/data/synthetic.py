@@ -7,7 +7,6 @@ exercised end-to-end with no external data (SURVEY.md §4 item 4)."""
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import List
 

@@ -34,7 +34,7 @@ min/max, and the same affine map is applied to blocks and gt alike.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

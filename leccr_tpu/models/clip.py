@@ -17,7 +17,7 @@ leccr_tpu.models.convert.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ keeps torch's seq-first [n, B, D]).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from leccr_tpu.models.bert import BertEncoder
 from leccr_tpu.models.clip import (
     CLIP_VARIANTS,
     CLIPTextTower,
-    CLIPVisionTower,
     build_vision_tower,
 )
 from leccr_tpu.models.temporal import TemporalTower, masked_mean_pool

@@ -17,8 +17,6 @@ attention (ops/attention.py).  A custom_vjp raises if differentiated.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

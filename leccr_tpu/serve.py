@@ -13,8 +13,6 @@ matmul+top_k per batch.
 from __future__ import annotations
 
 import dataclasses
-import json
-from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

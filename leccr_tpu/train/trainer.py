@@ -24,10 +24,9 @@ from __future__ import annotations
 
 import dataclasses
 import datetime
-import functools
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
