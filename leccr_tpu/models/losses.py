@@ -162,6 +162,101 @@ def caption_vision_loss(
     return -jnp.mean(jnp.sum(logp * labels, axis=2))
 
 
+def dstl_loss_blockwise(
+    image_feat: jax.Array,
+    slots: jax.Array,
+    text_feat_s: jax.Array,
+    text_feat_t: jax.Array,
+    alpha: float = 0.8,
+    block_rows: int = 256,
+) -> jax.Array:
+    """Streaming dstl: identical math to dstl_loss but never materializes a
+    full BxB matrix — rows are processed in blocks of `block_rows`
+    ([block, B] working set, O(B·block) memory instead of 3·B²).  Use for
+    the 32k-negative scale config.
+
+    Two passes: (1) global min/max of the raw sv/sc scores (the reference's
+    norm_score is a global min-max, model_retrieval_caption.py:87-90), then
+    (2) per-row-block softmax/KL accumulation.  Both scans are
+    rematerialized so autodiff memory stays bounded."""
+    b = image_feat.shape[0]
+    block_rows = min(block_rows, b)
+    assert b % block_rows == 0, (b, block_rows)
+    nb = b // block_rows
+
+    tt_blocks = text_feat_t.reshape(nb, block_rows, -1)
+    ts_blocks = text_feat_s.reshape(nb, block_rows, -1)
+    slots_blocks = slots.reshape(nb, block_rows, *slots.shape[1:])
+
+    def rows(blk):
+        ts_b, slots_b = blk
+        sv = ts_b @ image_feat.T  # [rb, B] (rows = texts)
+        sc = jnp.max(jnp.einsum("bne,ce->bnc", slots_b, text_feat_s),
+                     axis=1)  # [rb, B] (rows = images — mixed orientation
+        # exactly as the reference, see dstl_loss)
+        return sv, sc
+
+    def pass1(carry, blk):
+        sv_lo, sv_hi, sc_lo, sc_hi = carry
+        sv, sc = rows(blk)
+        return (jnp.minimum(sv_lo, jnp.min(sv)),
+                jnp.maximum(sv_hi, jnp.max(sv)),
+                jnp.minimum(sc_lo, jnp.min(sc)),
+                jnp.maximum(sc_hi, jnp.max(sc))), None
+
+    inf = jnp.float32(jnp.inf)
+    (sv_lo, sv_hi, sc_lo, sc_hi), _ = jax.lax.scan(
+        jax.checkpoint(pass1), (inf, -inf, inf, -inf),
+        (ts_blocks, slots_blocks))
+
+    def pass2(carry, blk):
+        tt_b, ts_b, slots_b = blk
+        sv, sc = rows((ts_b, slots_b))
+        # norm_score: (x - min) / max_after_shift = (x - lo) / (hi - lo)
+        sv_n = (sv - sv_lo) / jnp.maximum(sv_hi - sv_lo, 1e-12)
+        sc_n = (sc - sc_lo) / jnp.maximum(sc_hi - sc_lo, 1e-12)
+        labels = jax.nn.softmax(
+            (alpha * sv_n + (1.0 - alpha) * sc_n).astype(jnp.float32), axis=1)
+        labels = jax.lax.stop_gradient(labels)
+        logits_tv = tt_b @ image_feat.T
+        logp = _log_softmax(logits_tv, axis=1)
+        kl = jnp.sum(xlogy(labels, labels) - labels * logp)
+        return carry + kl, None
+
+    total, _ = jax.lax.scan(
+        jax.checkpoint(pass2), jnp.float32(0.0),
+        (tt_blocks, ts_blocks, slots_blocks))
+    return total / b
+
+
+def caption_vision_loss_blockwise(
+    cv_caption_mean: jax.Array,
+    cv_vision_mean: jax.Array,
+    idx: jax.Array,
+    block_rows: int = 256,
+) -> jax.Array:
+    """Streaming caption_vision_loss (global variant, num_blocks=1):
+    row blocks of the [B, B] token-mean similarity matrix."""
+    b, d = cv_caption_mean.shape
+    block_rows = min(block_rows, b)
+    assert b % block_rows == 0
+    nb = b // block_rows
+    cap_blocks = cv_caption_mean.reshape(nb, block_rows, d)
+    idx_blocks = idx.reshape(nb, block_rows)
+
+    def body(carry, blk):
+        cap_b, idx_b = blk
+        sim = cap_b @ cv_vision_mean.T  # [rb, B]
+        pos = (idx_b[:, None] == idx[None, :]).astype(jnp.float32)
+        labels = pos / jnp.sum(pos, axis=1, keepdims=True)
+        logp = _log_softmax(sim, axis=1)
+        return carry - jnp.sum(logp * labels), None
+
+    total, _ = jax.lax.scan(
+        jax.checkpoint(body), jnp.float32(0.0), (cap_blocks, idx_blocks))
+    return total / b
+
+
 def caption_regularization(ori_slots: jax.Array) -> jax.Array:
     """Slot-diversity penalty: mean of (cosine-sim matrix − I) over all
     [B, n, n] entries (reference model_retrieval_caption.py:65-73)."""
@@ -187,6 +282,7 @@ def compute_losses(
     num_blocks: int = 1,
     cv_loss_local: bool = False,
     itc_loss_fn=None,
+    stream_block_rows: int = 0,
 ) -> Dict[str, jax.Array]:
     """Assemble the 5-loss objective exactly as the reference composes it
     (model_retrieval_caption.py:172-199; trainer sums the 5 returned values,
@@ -210,19 +306,30 @@ def compute_losses(
         emb.slots, emb.text_feat_t, temp, num_blocks)
     loss_itc_c = loss_itc_sc + loss_itc_tc
 
-    # zero-weight losses are skipped entirely: dstl materializes full BxB
-    # logit matrices, which must not be built at ring scale
+    # zero-weight losses are skipped entirely (dstl otherwise materializes
+    # full BxB logit matrices); stream_block_rows > 0 selects the streaming
+    # row-block implementations for very large global batches
     if weight_dstl_loss != 0.0:
-        loss_dstl = dstl_loss(
-            emb.image_feat, emb.slots, emb.text_feat_s, emb.text_feat_t,
-            dstl_alpha) * weight_dstl_loss
+        if stream_block_rows > 0:
+            loss_dstl = dstl_loss_blockwise(
+                emb.image_feat, emb.slots, emb.text_feat_s, emb.text_feat_t,
+                dstl_alpha, stream_block_rows) * weight_dstl_loss
+        else:
+            loss_dstl = dstl_loss(
+                emb.image_feat, emb.slots, emb.text_feat_s, emb.text_feat_t,
+                dstl_alpha) * weight_dstl_loss
     else:
         loss_dstl = jnp.float32(0.0)
 
     if weight_cv_loss != 0.0:
-        loss_cv = caption_vision_loss(
-            emb.cv_caption_mean, emb.cv_vision_mean, idx,
-            num_blocks if cv_loss_local else 1) * weight_cv_loss
+        if stream_block_rows > 0 and not cv_loss_local:
+            loss_cv = caption_vision_loss_blockwise(
+                emb.cv_caption_mean, emb.cv_vision_mean, idx,
+                stream_block_rows) * weight_cv_loss
+        else:
+            loss_cv = caption_vision_loss(
+                emb.cv_caption_mean, emb.cv_vision_mean, idx,
+                num_blocks if cv_loss_local else 1) * weight_cv_loss
     else:
         loss_cv = jnp.float32(0.0)
     loss_reg = caption_regularization(emb.ori_slots)

@@ -212,6 +212,9 @@ class Trainer:
         is_video = self.is_video
 
         negatives = self.cfg.parallel.negatives
+        stream_rows = self.cfg.parallel.stream_loss_block_rows
+        if negatives == "ring" and stream_rows == 0:
+            stream_rows = 256
         itc_loss_fn = None
         if negatives == "ring" and num_blocks > 1:
             from leccr_tpu.parallel.ring import ring_infonce
@@ -252,7 +255,13 @@ class Trainer:
                     dstl_alpha=mc.dstl_alpha,
                     num_blocks=num_blocks,
                     cv_loss_local=is_video,
-                    itc_loss_fn=itc_loss_fn)
+                    itc_loss_fn=itc_loss_fn,
+                    stream_block_rows=(
+                        stream_rows
+                        if (stream_rows > 0
+                            and idx.shape[0] > stream_rows
+                            and idx.shape[0] % stream_rows == 0)
+                        else 0))
                 # DDP gradient parity (see module docstring): gathered terms
                 # scaled by 1/num_blocks, local terms (caption ITC, reg,
                 # video cv) already per-block means.

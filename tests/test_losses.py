@@ -183,3 +183,44 @@ def test_compute_losses_composition(feats):
         sum(float(out[k]) for k in
             ("loss_itc_vs", "loss_itc_vt", "loss_itc_st", "loss_itc_c",
              "loss_reg_c")), rtol=1e-6)
+
+
+def test_dstl_blockwise_matches_dense():
+    from leccr_tpu.models.losses import dstl_loss, dstl_loss_blockwise
+
+    img = l2(RS.randn(16, E)).astype(np.float32)
+    ts = l2(RS.randn(16, E)).astype(np.float32)
+    tt = l2(RS.randn(16, E)).astype(np.float32)
+    slots = RS.randn(16, N, E).astype(np.float32)
+    want = dstl_loss(jnp.asarray(img), jnp.asarray(slots), jnp.asarray(ts),
+                     jnp.asarray(tt), 0.8)
+    got = dstl_loss_blockwise(jnp.asarray(img), jnp.asarray(slots),
+                              jnp.asarray(ts), jnp.asarray(tt), 0.8,
+                              block_rows=4)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    # gradients (labels detached in both)
+    import jax
+
+    g_want = jax.grad(lambda a: dstl_loss(
+        a, jnp.asarray(slots), jnp.asarray(ts), jnp.asarray(tt), 0.8))(
+        jnp.asarray(img))
+    g_got = jax.grad(lambda a: dstl_loss_blockwise(
+        a, jnp.asarray(slots), jnp.asarray(ts), jnp.asarray(tt), 0.8, 4))(
+        jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-6)
+
+
+def test_cv_blockwise_matches_dense():
+    from leccr_tpu.models.losses import (caption_vision_loss,
+                                         caption_vision_loss_blockwise)
+
+    cap = l2(RS.randn(16, D)).astype(np.float32)
+    vis = l2(RS.randn(16, D)).astype(np.float32)
+    idx = np.arange(16) % 6
+    want = caption_vision_loss(jnp.asarray(cap), jnp.asarray(vis),
+                               jnp.asarray(idx))
+    got = caption_vision_loss_blockwise(jnp.asarray(cap), jnp.asarray(vis),
+                                        jnp.asarray(idx), block_rows=4)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
