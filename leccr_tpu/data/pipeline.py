@@ -111,19 +111,9 @@ class TrainLoader:
         """Tokenize a text list to unpadded id rows, preferring the native
         C++ batch tokenizer (native/wordpiece.cpp) when available."""
         max_len = self.cfg.max_tokens
-        if self._native is not None:
-            ids, mask = self._native.encode(texts, max_len)
-            return [row[: int(m.sum())].tolist()
-                    for row, m in zip(ids, mask)]
-        out = []
-        for text in texts:
-            toks = self.tokenizer.tokenize(text)[: max_len - 2]
-            out.append(
-                [self.tokenizer.cls_id]
-                + [self.tokenizer.vocab.get(
-                    t, self.tokenizer.vocab["[UNK]"]) for t in toks]
-                + [self.tokenizer.sep_id])
-        return out
+        enc = self._native if self._native is not None else self.tokenizer
+        ids, mask = enc.encode(texts, max_len)
+        return [row[: int(m.sum())].tolist() for row, m in zip(ids, mask)]
 
     def _tokenize_all(self) -> None:
         """Offline tokenization of every (sample, language) text and every
@@ -135,8 +125,9 @@ class TrainLoader:
             from leccr_tpu.data.native_tokenizer import (
                 NativeWordPieceTokenizer,
             )
+            from leccr_tpu.data.tokenizers import WordPieceTokenizer
 
-            if (hasattr(self.tokenizer, "cls_id")
+            if (isinstance(self.tokenizer, WordPieceTokenizer)
                     and not self.tokenizer.lowercase):
                 self._native = NativeWordPieceTokenizer(
                     self.tokenizer.vocab_file, lowercase=False)
@@ -160,14 +151,11 @@ class TrainLoader:
             image_id = video_id_of(cap_id)
             if image_id not in cap and self.cfg.generated_caption_type != "feats":
                 text = ds.generated[image_id]
-                if hasattr(self.caption_tokenizer, "cls_id"):  # wordpiece
-                    toks = self.caption_tokenizer.tokenize(text)[: max_len - 2]
-                    cap[image_id] = (
-                        [self.caption_tokenizer.cls_id]
-                        + [self.caption_tokenizer.vocab.get(
-                            t, self.caption_tokenizer.vocab["[UNK]"])
-                           for t in toks]
-                        + [self.caption_tokenizer.sep_id])
+                if hasattr(self.caption_tokenizer, "cls_id"):
+                    # WordPiece / Unigram: cls…sep, unpadded row
+                    ids, mask = self.caption_tokenizer.encode(
+                        [text], max_len)
+                    cap[image_id] = ids[0][: int(mask[0].sum())].tolist()
                 else:  # CLIP BPE: fixed 77-wide, pad id 0
                     cap[image_id] = list(
                         self.caption_tokenizer.encode([text])[0])

@@ -285,6 +285,116 @@ class ClipBPETokenizer:
         return out
 
 
+# --------------------------------------------------------------------------
+# Unigram (SentencePiece-style) tokenizer — XLM-R support
+# --------------------------------------------------------------------------
+
+class UnigramTokenizer:
+    """SentencePiece-unigram tokenizer from a TSV vocab (`piece\\tlog_prob`
+    per line, line number = token id).  Supports the XLM-R text-tower option
+    (TextConfig.kind == 'xlmr'); the reference's YAML names xlm-roberta but
+    its live code never loads it (SURVEY.md §5 config lies).
+
+    Conventions (XLM-R/HF layout): ids 0..3 are <s>, <pad>, </s>, <unk>;
+    whitespace is the ▁ (U+2581) marker prefixed to each word; segmentation
+    is Viterbi max-sum of piece log-probs with per-character <unk> fallback.
+    Exposes the same encode() contract as WordPieceTokenizer (cls/sep/pad
+    aliases map to <s>/</s>/<pad>)."""
+
+    WS = "▁"
+
+    def __init__(self, vocab_tsv: str, lowercase: bool = False):
+        self.vocab_file = str(vocab_tsv)
+        self.lowercase = lowercase
+        self.pieces: Dict[str, int] = {}
+        self.scores: Dict[str, float] = {}
+        for i, line in enumerate(
+                Path(vocab_tsv).read_text(encoding="utf-8").splitlines()):
+            if not line:
+                continue
+            parts = line.split("\t")
+            piece = parts[0]
+            score = float(parts[1]) if len(parts) > 1 else 0.0
+            self.pieces[piece] = i
+            self.scores[piece] = score
+        self.vocab = self.pieces  # WordPiece-compatible alias
+        self.cls_id = self.pieces.get("<s>", 0)
+        self.pad_id = self.pieces.get("<pad>", 1)
+        self.sep_id = self.pieces.get("</s>", 2)
+        self.unk_id = self.pieces.get("<unk>", 3)
+        self.max_piece_len = max((len(p) for p in self.pieces), default=1)
+        self.unk_penalty = min(self.scores.values(), default=0.0) - 10.0
+
+    def _viterbi(self, text: str) -> List[int]:
+        n = len(text)
+        best = [float("-inf")] * (n + 1)
+        back: List[Tuple[int, int]] = [(-1, -1)] * (n + 1)  # (start, id)
+        best[0] = 0.0
+        for end in range(1, n + 1):
+            lo = max(0, end - self.max_piece_len)
+            for start in range(lo, end):
+                if best[start] == float("-inf"):
+                    continue
+                piece = text[start:end]
+                if piece in self.pieces:
+                    cand = best[start] + self.scores[piece]
+                    if cand > best[end]:
+                        best[end] = cand
+                        back[end] = (start, self.pieces[piece])
+            if best[end] == float("-inf"):  # unk fallback: single char
+                best[end] = best[end - 1] + self.unk_penalty
+                back[end] = (end - 1, self.unk_id)
+        ids: List[int] = []
+        pos = n
+        while pos > 0:
+            start, pid = back[pos]
+            ids.append(pid)
+            pos = start
+        return ids[::-1]
+
+    def tokenize(self, text: str) -> List[int]:
+        if self.lowercase:
+            text = text.lower()
+        words = text.split()
+        ids: List[int] = []
+        for word in words:
+            ids.extend(self._viterbi(self.WS + word))
+        return ids
+
+    def encode(self, texts: Sequence[str], max_length: int,
+               pad_to: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
+        """<s> pieces </s>, truncated/padded like the WordPiece encoder."""
+        width = pad_to or max_length
+        ids = np.full((len(texts), width), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), width), np.int32)
+        for row, text in enumerate(texts):
+            toks = self.tokenize(text)[: max_length - 2]
+            seq = [self.cls_id] + toks + [self.sep_id]
+            ids[row, : len(seq)] = seq
+            mask[row, : len(seq)] = 1
+        return ids, mask
+
+
+def write_tiny_unigram_vocab(path: str, words: Iterable[str]) -> None:
+    """Build a small unigram TSV vocab covering `words` (tests/synthetic):
+    specials, whole words (high score), then characters (low score)."""
+    ws = UnigramTokenizer.WS
+    lines = [("<s>", 0.0), ("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0)]
+    seen = {p for p, _ in lines}
+    for w in words:
+        piece = ws + w
+        if piece not in seen:
+            seen.add(piece)
+            lines.append((piece, -2.0))
+    chars = {c for w in words for c in w} | {ws}
+    for c in sorted(chars):
+        if c not in seen:
+            seen.add(c)
+            lines.append((c, -8.0))
+    Path(path).write_text(
+        "\n".join(f"{p}\t{s}" for p, s in lines), encoding="utf-8")
+
+
 def write_tiny_wordpiece_vocab(path: str, words: Iterable[str]) -> None:
     """Build a small WordPiece vocab covering `words` (tests/synthetic)."""
     tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]

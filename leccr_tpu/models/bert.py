@@ -97,7 +97,14 @@ class BertEncoder(nn.Module):
             attention_mask = jnp.ones_like(input_ids)
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
-        positions = jnp.arange(input_ids.shape[1])[None, :]
+        if cfg.kind == "xlmr":
+            # RoBERTa/XLM-R position ids: padding_idx=1, real tokens get
+            # cumulative positions starting at 2 (HF
+            # create_position_ids_from_input_ids semantics)
+            mask = attention_mask.astype(jnp.int32)
+            positions = jnp.cumsum(mask, axis=1) * mask + 1
+        else:
+            positions = jnp.arange(input_ids.shape[1])[None, :]
 
         word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                         name="word_embeddings")(input_ids)

@@ -38,8 +38,14 @@ class Embedder:
         self.model = LECCRModel(cfg.model)
         self.params = params
         self.batch_size = batch_size
-        self.tokenizer = WordPieceTokenizer(
-            cfg.data.text_vocab, lowercase=cfg.data.lowercase)
+        if cfg.model.text.kind == "xlmr":
+            from leccr_tpu.data.tokenizers import UnigramTokenizer
+
+            self.tokenizer = UnigramTokenizer(
+                cfg.data.text_vocab, lowercase=cfg.data.lowercase)
+        else:
+            self.tokenizer = WordPieceTokenizer(
+                cfg.data.text_vocab, lowercase=cfg.data.lowercase)
         self.caption_tokenizer = (
             ClipBPETokenizer(cfg.data.clip_bpe_vocab)
             if cfg.model.caption_encoder_name == "clip" else self.tokenizer)

@@ -122,8 +122,14 @@ class Trainer:
 
         self.train_ds, self.val_ds, self.test_ds = build_datasets(cfg)
 
-        self.tokenizer = WordPieceTokenizer(
-            cfg.data.text_vocab, lowercase=cfg.data.lowercase)
+        if cfg.model.text.kind == "xlmr":
+            from leccr_tpu.data.tokenizers import UnigramTokenizer
+
+            self.tokenizer = UnigramTokenizer(
+                cfg.data.text_vocab, lowercase=cfg.data.lowercase)
+        else:
+            self.tokenizer = WordPieceTokenizer(
+                cfg.data.text_vocab, lowercase=cfg.data.lowercase)
         if cfg.model.caption_encoder_name == "clip":
             self.caption_tokenizer = ClipBPETokenizer(cfg.data.clip_bpe_vocab)
         else:

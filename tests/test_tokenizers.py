@@ -104,3 +104,52 @@ def test_clip_encode_layout(clip_files):
     # truncation keeps EOT last
     long = mine.encode(["dog " * 50], context_length=8)
     assert long[0, -1] == mine.eot
+
+
+def test_unigram_tokenizer(tmp_path):
+    from leccr_tpu.data.tokenizers import (
+        UnigramTokenizer,
+        write_tiny_unigram_vocab,
+    )
+
+    vocab = tmp_path / "uni.tsv"
+    write_tiny_unigram_vocab(str(vocab), ["hello", "world", "he"])
+    tok = UnigramTokenizer(str(vocab))
+    assert tok.cls_id == 0 and tok.pad_id == 1 and tok.sep_id == 2
+
+    # whole-word pieces win over per-char segmentation
+    ids = tok.tokenize("hello world")
+    assert ids == [tok.pieces["▁hello"], tok.pieces["▁world"]]
+
+    # unknown word falls back to chars (known) / <unk> (unknown chars)
+    ids2 = tok.tokenize("held")
+    assert tok.unk_id in ids2 or all(i != tok.unk_id for i in ids2)
+    assert len(ids2) >= 2
+
+    # Viterbi prefers higher-scoring segmentation: "hehello"?
+    # "▁he" exists as word; "hello" chars exist — ensure determinism
+    ids3 = tok.tokenize("he")
+    assert ids3 == [tok.pieces["▁he"]]
+
+    # encode layout: <s> ... </s> + padding
+    enc, mask = tok.encode(["hello world", "he"], max_length=6)
+    assert enc[0][0] == tok.cls_id
+    assert enc[0][3] == tok.sep_id
+    assert mask[0].sum() == 4
+    assert enc[1][2] == tok.sep_id
+    assert (enc[1][3:] == tok.pad_id).all()
+
+
+def test_unigram_viterbi_prefers_best_score(tmp_path):
+    from leccr_tpu.data.tokenizers import UnigramTokenizer
+
+    vocab = tmp_path / "v.tsv"
+    # "▁ab" (-1) beats "▁a"+"b" (-2-2=-4)
+    vocab.write_text(
+        "<s>\t0\n<pad>\t0\n</s>\t0\n<unk>\t0\n"
+        "▁ab\t-1.0\n▁a\t-2.0\nb\t-2.0\n▁\t-5.0\na\t-3.0\n")
+    tok = UnigramTokenizer(str(vocab))
+    assert tok.tokenize("ab") == [tok.pieces["▁ab"]]
+    # but "▁a"+"b" when the combined piece is absent
+    assert tok.tokenize("ab b") == [
+        tok.pieces["▁ab"], tok.pieces["▁"], tok.pieces["b"]]

@@ -134,3 +134,35 @@ def test_vision_tower_at_384_resolution_shape():
     params = tower.init(jax.random.PRNGKey(0), img)["params"]
     out = tower.apply({"params": params}, img)
     assert out.shape == (1, 145, 24)
+
+
+def test_xlmr_matches_hf_roberta():
+    """XLM-R variant: RoBERTa position-id semantics (padding_idx=1) must
+    match HF XLMRobertaModel/RobertaModel numerically."""
+    from transformers import RobertaConfig, RobertaModel
+
+    hf_cfg = RobertaConfig(
+        vocab_size=120, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=34, type_vocab_size=1, pad_token_id=1,
+        attn_implementation="eager")
+    torch.manual_seed(3)
+    hf = RobertaModel(hf_cfg).eval()
+
+    ids = np.random.RandomState(4).randint(4, 119, (2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    mask[:, 6:] = 0
+    ids[:, 6:] = 1  # pad token
+    with torch.no_grad():
+        want = hf(torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)).last_hidden_state
+
+    cfg = TextConfig(kind="xlmr", vocab_size=120, hidden_size=48,
+                     num_layers=2, num_heads=4, intermediate_size=96,
+                     max_position_embeddings=34, type_vocab_size=1,
+                     pad_token_id=1)
+    params = bert_params(dict(hf.state_dict()), num_layers=2)
+    got = BertEncoder(cfg).apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got[:, :6]), want.numpy()[:, :6],
+                               atol=1e-4)
