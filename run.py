@@ -45,6 +45,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if os.environ.get("LECCR_PLATFORM"):
+        # explicit backend override (e.g. CPU debugging; some TPU transport
+        # plugins ignore the JAX_PLATFORMS env var)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["LECCR_PLATFORM"])
     if args.multihost:
         import jax
 

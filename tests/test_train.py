@@ -156,3 +156,53 @@ def test_video_trainer_end_to_end(tmp_path):
     metrics = tr.evaluate(tr.test_ds[lang])  # minmax double-sim fusion
     assert 0.0 <= metrics["txt_r1"] <= 100.0
     assert metrics["sumr_sum"] > 0
+
+
+def test_fit_loop_and_cli_smoke(tmp_path):
+    """Trainer.fit(): full epoch->eval->best-ckpt->log.txt loop, then the
+    run.py CLI end-to-end on the synthetic dataset."""
+    import json
+    import subprocess
+    import sys
+
+    from leccr_tpu.train.trainer import Trainer
+
+    cfg = tiny_test_config()
+    cfg.output_dir = str(tmp_path / "fit")
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 8
+    cfg.data.synthetic_eval_images = 4
+    cfg.train.batch_size_train = 8
+    cfg.train.batch_size_test = 4
+    cfg.train.batch_size_test_text = 8
+    cfg.train.schedular.epochs = 1
+    cfg.parallel.data = 1
+    tr = Trainer(cfg, devices=jax.devices()[:1])
+    stats = tr.fit()
+    assert "de_test_sumr_sum" in stats
+    log = (tmp_path / "fit" / "log.txt").read_text().strip().splitlines()
+    assert len(log) >= 2  # epoch record + best record
+    assert "de_test_txt_r1" in json.loads(log[0])
+    # best checkpoint was written
+    assert tr.ckpt.latest_step() is not None
+    assert tr.ckpt.best_info() is not None
+
+    # CLI: config file -> run.py --evaluate --resume on the same output dir
+    cfg_path = tmp_path / "cli.json"
+    cfg.train.resume = True
+    cfg.save(str(cfg_path))
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LECCR_PLATFORM"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "run.py", "--task", "itr_caption",
+         "--config", str(cfg_path), "--output_dir", str(tmp_path / "fit"),
+         "--evaluate", "--resume"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # the eval-only run appends another record to log.txt
+    log2 = (tmp_path / "fit" / "log.txt").read_text().strip().splitlines()
+    assert len(log2) > len(log), (proc.stdout[-800:], proc.stderr[-400:])
