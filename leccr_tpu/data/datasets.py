@@ -132,6 +132,14 @@ class ImageEvalDataset:
                  split: str = "eval"):
         self.cfg = cfg
         self.image_res = image_res
+        self.text_trans: List[str] = []
+        if split == "test" and cfg.test_trans_file:
+            # translated test texts (reference retrieval_dataset.py:228-233;
+            # parsed and stored, reference never consumes them either)
+            self.text_trans = [
+                normalize_caption(c, cfg.max_words) for _, c in
+                parse_caption_file(os.path.join(cfg.root_dir,
+                                                cfg.test_trans_file))]
         root = cfg.root_dir
         self.name_map = None
         if cfg.dataset == "mscoco":

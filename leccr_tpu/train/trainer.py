@@ -307,10 +307,14 @@ class Trainer:
         pending: list = []
 
         def drain():
-            for step_no, dev_losses in pending:
+            if not pending:
+                return
+            # one bulk device_get instead of per-scalar round trips
+            fetched = jax.device_get([d for _, d in pending])
+            for (step_no, _), host_losses in zip(pending, fetched):
                 logger.update(
                     lr=float(self.schedule(step_no)),
-                    **{k: float(dev_losses[k]) for k in LOSS_KEYS})
+                    **{k: float(host_losses[k]) for k in LOSS_KEYS})
             pending.clear()
 
         from leccr_tpu.data.pipeline import device_prefetch

@@ -213,3 +213,40 @@ def test_local_io_module(tmp_path):
     lio.copy(str(p), str(tmp_path / "g.txt"))
     assert lio.exists(str(tmp_path / "g.txt"))
     assert any(x.endswith("f.txt") for x in lio.listdir(str(p.parent)))
+
+
+def test_eval_loader_batches(tmp_path):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from leccr_tpu.data.datasets import ImageEvalDataset
+    from leccr_tpu.data.pipeline import EvalLoader, device_prefetch
+    from leccr_tpu.data.synthetic import make_image_dataset
+    from leccr_tpu.data.tokenizers import WordPieceTokenizer
+
+    cfg = make_image_dataset(str(tmp_path / "ds"), n_train=4, n_eval=5,
+                             caps_per_image=2, image_res=32)
+    ds = ImageEvalDataset(cfg, cfg.test_file["de"], image_res=32,
+                          split="test")
+    tok = WordPieceTokenizer(cfg.text_vocab)
+    loader = EvalLoader(ds, tok, cfg, batch_size=4, text_batch_size=4)
+
+    # text batches: fixed width (max_tokens), count marks the valid rows
+    tb = list(loader.text_batches())
+    assert sum(n for _, _, n in tb) == len(ds.texts) == 10
+    ids, mask, n = tb[-1]
+    assert ids.shape == (4, cfg.max_tokens)
+    assert n == 10 - 2 * 4
+
+    # image batches: padded to batch_size, counts sum to n images
+    ib = list(loader.image_batches())
+    assert sum(c for _, c in ib) == 5
+    batch, count = ib[-1]
+    assert batch["vision"].shape[0] == 4 and count == 1
+
+    # device_prefetch yields the same batches, on device
+    mesh = jax.sharding.Mesh(jax.devices()[:1], ("data",))
+    sharding = NamedSharding(mesh, P())
+    out = list(device_prefetch(iter([{"x": np.ones((2, 2))}]), sharding))
+    assert len(out) == 1
+    assert isinstance(out[0]["x"], jax.Array)
