@@ -115,6 +115,11 @@ class Trainer:
 
             enable_nan_checks(True)
         self.mesh = make_mesh(cfg.parallel, devices)
+        # eval batches shard over the data axis → sizes must divide evenly
+        d = self.mesh.shape["data"]
+        cfg.train.batch_size_test = -(-cfg.train.batch_size_test // d) * d
+        cfg.train.batch_size_test_text = (
+            -(-cfg.train.batch_size_test_text // d) * d)
         self.is_video = cfg.model.vision.kind == "temporal"
         self.model = LECCRModel(cfg.model)
         self.process_index = jax.process_index()
@@ -359,18 +364,25 @@ class Trainer:
 
         # async dispatch: embeddings stay on device; the only host sync is
         # the final rank fetch (the reference round-trips the full N x N
-        # matrix to host instead, image_…py:163)
+        # matrix to host instead, image_…py:163).  Batches are sharded over
+        # the mesh's data axis so eval scales across chips (the reference's
+        # eval all_reduce was a world_size-scaling no-op, SURVEY §2c).
+        data_sharding = NamedSharding(self.mesh, P("data"))
+
+        def put(x):
+            return jax.device_put(np.asarray(x), data_sharding)
+
         text_embeds = []
         for ids, mask, n in loader.text_batches():
-            out = self._embed_texts(self.state.params, ids, mask)
+            out = self._embed_texts(self.state.params, put(ids), put(mask))
             text_embeds.append(out[:n])
         text_embeds = jnp.concatenate(text_embeds, axis=0)
 
         img_feats, img_slots = [], []
         for batch, count in loader.image_batches():
+            batch = {k: put(v) for k, v in batch.items()}
             if not self.is_video:
-                batch["vision"] = normalize_images(
-                    jnp.asarray(batch["vision"]))
+                batch["vision"] = normalize_images(batch["vision"])
             out = self._embed_images(self.state.params, batch)
             img_feats.append(out["feat"][:count])
             img_slots.append(out["slots"][:count])

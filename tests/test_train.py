@@ -206,3 +206,30 @@ def test_fit_loop_and_cli_smoke(tmp_path):
     # the eval-only run appends another record to log.txt
     log2 = (tmp_path / "fit" / "log.txt").read_text().strip().splitlines()
     assert len(log2) > len(log), (proc.stdout[-800:], proc.stderr[-400:])
+
+
+def test_sharded_eval_matches_single_device(tmp_path):
+    """Eval with batches sharded over an 8-way data mesh must produce
+    identical metrics to single-device eval."""
+    from leccr_tpu.train.trainer import Trainer
+
+    def build(out, data, devices):
+        cfg = tiny_test_config()
+        cfg.output_dir = str(out)
+        cfg.data.dataset = "synthetic"
+        cfg.data.synthetic_size = 8
+        cfg.data.synthetic_eval_images = 8
+        cfg.train.batch_size_train = 8
+        cfg.train.batch_size_test = 8
+        cfg.train.batch_size_test_text = 16
+        cfg.train.schedular.epochs = 1
+        cfg.parallel.data = data
+        return Trainer(cfg, devices=devices)
+
+    t1 = build(tmp_path / "one", 1, jax.devices()[:1])
+    t8 = build(tmp_path / "eight", 8, jax.devices())
+    lang = list(t1.test_ds)[0]
+    m1 = t1.evaluate(t1.test_ds[lang])
+    # same seed → same params; same synthetic data → same metrics
+    m8 = t8.evaluate(t8.test_ds[lang])
+    assert m1 == m8, (m1, m8)
