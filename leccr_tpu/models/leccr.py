@@ -272,12 +272,17 @@ class LECCRModel(nn.Module):
             deterministic)
 
         image_feat = self.vision_features(fused_vision, vision_mask)
-        text_embeds_s = self.encode_text(
-            batch["text_ids_s"], batch["text_mask_s"], deterministic)
-        text_feat_s = self.text_features(text_embeds_s)
-        text_embeds_t = self.encode_text(
-            batch["text_ids_t"], batch["text_mask_t"], deterministic)
-        text_feat_t = self.text_features(text_embeds_t)
+        # source+target texts share width (bucketed together) and both need
+        # grads: one doubled-batch tower pass keeps the MXU busier than two
+        # half-size calls (the reference runs them separately,
+        # model_retrieval_caption.py:177-185)
+        b = batch["text_ids_s"].shape[0]
+        text_embeds_st = self.encode_text(
+            jnp.concatenate([batch["text_ids_s"], batch["text_ids_t"]], 0),
+            jnp.concatenate([batch["text_mask_s"], batch["text_mask_t"]], 0),
+            deterministic)
+        text_feat_st = self.text_features(text_embeds_st)
+        text_feat_s, text_feat_t = text_feat_st[:b], text_feat_st[b:]
 
         slots = self.caption_proj1(fused_slots)
 
