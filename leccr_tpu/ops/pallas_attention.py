@@ -24,17 +24,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
-    q = q_ref[0, 0].astype(jnp.float32)  # [Lq, Dh]
-    k = k_ref[0, 0].astype(jnp.float32)  # [Lk, Dh]
-    v = v_ref[0, 0].astype(jnp.float32)  # [Lk, Dh]
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    # one program per batch item; all heads computed together so the MXU
+    # sees [H·Lq, Dh] x [Dh, Lk]-scale contractions instead of 8 slivers
+    q = q_ref[0].astype(jnp.float32)  # [H, Lq, Dh]
+    k = k_ref[0].astype(jnp.float32)  # [H, Lk, Dh]
+    v = v_ref[0].astype(jnp.float32)  # [H, Lk, Dh]
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [H, Lq, Lk]
     scores = scores * (1.0 / (q.shape[-1] ** 0.5))
     pad = mask_ref[0] != 0  # [1, Lk] int32, nonzero = padding
-    scores = jnp.where(pad[0][None, :], jnp.finfo(jnp.float32).min, scores)
+    scores = jnp.where(pad[0][None, None, :], jnp.finfo(jnp.float32).min,
+                       scores)
     probs = jax.nn.softmax(scores, axis=-1)
-    out_ref[0, 0] = jnp.dot(
-        probs, v, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    out_ref[0] = jax.lax.dot_general(
+        probs, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -52,18 +57,18 @@ def fused_cross_attention(q, k, v, padding_mask, interpret=False):
 
     return pl.pallas_call(
         _attn_kernel,
-        grid=(b, h),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, h, lq, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, h, lk, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, h, lk, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, lk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, h, lq, dh), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
         interpret=interpret,
