@@ -197,6 +197,162 @@ def infonce_stats(q, k, idx_q, idx_k, inv_temp, impl: str = "auto",
     return _stats_xla(q, k, idx_q, idx_k, inv_temp)
 
 
+# ------------------------------------------------------ Pallas backward
+
+def _bwd_dq_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
+                   pc_ref, nvalid_ref, dq_ref, dt_ref, acc, dt_acc):
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+    inv_temp = invt_ref[0]
+    n_valid = nvalid_ref[0]
+    bk = k_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        dt_acc[:] = jnp.zeros_like(dt_acc)
+
+    logits = jnp.dot(q_ref[:], k_ref[:].T,
+                     preferred_element_type=jnp.float32) * inv_temp
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < n_valid
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:, 0][:, None]), 0.0)
+    pos = (idxq_ref[:, 0][:, None] == idxk_ref[:, 0][None, :]) & valid
+    w = p - pos.astype(jnp.float32) / jnp.maximum(pc_ref[:, 0], 1.0)[:, None]
+    acc[:] = acc[:] + jnp.dot(w, k_ref[:],
+                              preferred_element_type=jnp.float32)
+    dt_acc[0, 0] = dt_acc[0, 0] + jnp.sum(
+        jnp.where(valid, w * logits, 0.0))
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        dq_ref[:] = acc[:]
+        dt_ref[0, 0] = dt_acc[0, 0]
+
+
+def _bwd_dk_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
+                   pc_ref, nvalid_ref, dk_ref, acc):
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
+    inv_temp = invt_ref[0]
+    n_valid = nvalid_ref[0]  # valid q rows
+    bq = q_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    logits = jnp.dot(q_ref[:], k_ref[:].T,
+                     preferred_element_type=jnp.float32) * inv_temp
+    row = i * bq + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    valid = row < n_valid
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:, 0][:, None]), 0.0)
+    pos = (idxq_ref[:, 0][:, None] == idxk_ref[:, 0][None, :]) & valid
+    w = p - jnp.where(
+        valid, pos.astype(jnp.float32)
+        / jnp.maximum(pc_ref[:, 0], 1.0)[:, None], 0.0)
+    w = jnp.where(valid, w, 0.0)
+    acc[:] = acc[:] + jnp.dot(w.T, q_ref[:],
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _flush():
+        dk_ref[:] = acc[:]
+
+
+def _bwd_pallas(q, k, idx, temp, lse, pc, coef,
+                block_q: int = 256, block_k: int = 512,
+                interpret: bool = False):
+    """(dq, dk, d_temp) via two Pallas passes; logits/probabilities exist
+    only as VMEM tiles (flash-style recompute)."""
+    m, e = q.shape
+    n = k.shape[0]
+    inv_temp = 1.0 / temp
+    block_q = min(block_q, max(8, 1 << (m - 1).bit_length()), 256)
+    block_k = min(block_k, max(128, 1 << (n - 1).bit_length()))
+    qp = _pad_to(q, block_q, 0)
+    kp = _pad_to(k, block_k, 0)
+    idx_qp = _pad_to(idx.astype(jnp.int32), block_q, 0, value=-2)[:, None]
+    idx_kp = _pad_to(idx.astype(jnp.int32), block_k, 0, value=-3)[:, None]
+    # padded q rows: lse=+inf → p=0; pc=1 → pos/cnt=0 since idx -2 != -3
+    lse_p = _pad_to(lse, block_q, 0, value=jnp.inf)[:, None]
+    pc_p = _pad_to(pc, block_q, 0, value=1.0)[:, None]
+    mp, np_ = qp.shape[0], kp.shape[0]
+    invt = jnp.asarray([inv_temp], jnp.float32)
+    nv_n = jnp.asarray([n], jnp.int32)
+    nv_m = jnp.asarray([m], jnp.int32)
+
+    dq_pad, dt_parts = pl.pallas_call(
+        _bwd_dq_kernel,
+        grid=(mp // block_q, np_ // block_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_q, e), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, e), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, e), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, e), jnp.float32),
+            jax.ShapeDtypeStruct((mp // block_q, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, e), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(invt, qp, kp, idx_qp, idx_kp, lse_p, pc_p, nv_n)
+
+    dk_pad = pl.pallas_call(
+        _bwd_dk_kernel,
+        grid=(np_ // block_k, mp // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_q, e), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, e), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, 1), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block_k, e), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, e), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_k, e), jnp.float32)],
+        interpret=interpret,
+    )(invt, qp, kp, idx_qp, idx_kp, lse_p, pc_p, nv_m)
+
+    scale = coef * inv_temp
+    dq = dq_pad[:m] * scale
+    dk = dk_pad[:n] * scale
+    # dt_parts holds Σ w·logits = inv_temp·Σ w·(q·k);
+    # d temp = -coef·Σ w·(q·k)·inv_temp² = -coef·(Σ w·logits)·inv_temp
+    d_temp = -coef * jnp.sum(dt_parts) * inv_temp
+    return dq, dk, d_temp
+
+
 # --------------------------------------------------------------- the loss
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -216,6 +372,14 @@ def _half_bwd(impl, interpret, res, g):
     m = q.shape[0]
     inv_temp = 1.0 / temp
     coef = g / m  # d(mean)/d(row)
+
+    resolved = impl
+    if resolved == "auto":
+        resolved = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if resolved == "pallas":
+        dq, dk, d_temp = _bwd_pallas(q, k, idx, temp, lse, pc, coef,
+                                     interpret=interpret)
+        return dq, dk, None, jnp.asarray(d_temp, jnp.float32)
 
     # blockwise backward: p_ij = exp(l_ij - lse_i); label_ij = pos_ij / cnt_i
     def body(carry, blk):

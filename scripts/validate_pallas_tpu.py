@@ -93,3 +93,35 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def backward_check():
+    import time
+
+    import numpy as np
+
+    rs = np.random.RandomState(1)
+    m, e = 2048, 256
+    q = jnp.asarray(rs.randn(m, e).astype(np.float32))
+    k = jnp.asarray(rs.randn(m, e).astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, m // 2, m).astype(np.int32))
+    temp = jnp.float32(0.07)
+
+    g_pallas = jax.jit(jax.grad(lambda a, b: infonce_loss(
+        a, b, temp, idx, impl="pallas"), argnums=(0, 1)))
+    g_dense = jax.jit(jax.grad(lambda a, b: soft_label_contrastive_loss(
+        a, b, temp, idx), argnums=(0, 1)))
+    gp = g_pallas(q, k)
+    gd = g_dense(q, k)
+    print("bwd dq maxdiff:", float(jnp.max(jnp.abs(gp[0] - gd[0]))))
+    print("bwd dk maxdiff:", float(jnp.max(jnp.abs(gp[1] - gd[1]))))
+    for name, f in (("pallas", g_pallas), ("dense", g_dense)):
+        t0 = time.time()
+        for _ in range(5):
+            r = f(q, k)
+        _ = np.asarray(r[0])
+        print(f"fwd+bwd {name} @2k: {(time.time()-t0)/5*1000:.1f} ms")
+
+
+if __name__ == "__main__" and "--bwd" in sys.argv:
+    backward_check()

@@ -81,3 +81,19 @@ def test_infonce_loss_gradients_match_dense():
     gg = jax.grad(fused, argnums=(0, 1, 2))(a, b, temp)
     for w, g in zip(gw, gg):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+
+
+def test_pallas_backward_matches_dense_grads():
+    """Pallas dq/dk/dtemp kernels (interpret mode) vs the dense loss."""
+    a, b, idx = _feats(24, 24, 16)
+    temp = jnp.float32(0.07)
+
+    g_want = jax.grad(
+        lambda x, y, t: soft_label_contrastive_loss(x, y, t, idx),
+        argnums=(0, 1, 2))(a, b, temp)
+    g_got = jax.grad(
+        lambda x, y, t: infonce_loss(x, y, t, idx, impl="pallas",
+                                     interpret=True),
+        argnums=(0, 1, 2))(a, b, temp)
+    for w, g in zip(g_want, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
