@@ -210,7 +210,7 @@ def _bwd_dq_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
     @pl.when(j == 0)
     def _init():
         acc[:] = jnp.zeros_like(acc)
-        dt_acc[:] = jnp.zeros_like(dt_acc)
+        dt_acc[0, 0] = jnp.float32(0.0)  # SMEM: scalar stores only
 
     logits = jnp.dot(q_ref[:], k_ref[:].T,
                      preferred_element_type=jnp.float32) * inv_temp
@@ -227,7 +227,8 @@ def _bwd_dq_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
     @pl.when(j == nk - 1)
     def _flush():
         dq_ref[:] = acc[:]
-        dt_ref[0, 0] = dt_acc[0, 0]
+        # dt output is unblocked (full array in SMEM): index by program id
+        dt_ref[pl.program_id(0), 0] = dt_acc[0, 0]
 
 
 def _bwd_dk_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
@@ -304,8 +305,7 @@ def _bwd_pallas(q, k, idx, temp, lse, pc, coef,
         out_specs=[
             pl.BlockSpec((block_q, e), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, e), jnp.float32),
