@@ -188,7 +188,6 @@ class ParallelConfig:
     #  "gather": all_gather features (reference AllGather semantics)
     #  "ring":   ppermute ring, never materializes the full logits
     negatives: str = "gather"
-    use_pallas: bool = True  # fused kernels on TPU; XLA fallback elsewhere
     # stream the dstl/caption-vision losses in row blocks of this many rows
     # (0 = dense; automatically 256 when negatives == "ring")
     stream_loss_block_rows: int = 0

@@ -233,3 +233,22 @@ def test_sharded_eval_matches_single_device(tmp_path):
     # same seed → same params; same synthetic data → same metrics
     m8 = t8.evaluate(t8.test_ds[lang])
     assert m1 == m8, (m1, m8)
+
+
+def test_fused_negatives_trainer(tmp_path):
+    """negatives: fused — the blockwise InfoNCE (XLA path on CPU) drives the
+    train step end-to-end."""
+    from leccr_tpu.train.trainer import Trainer
+
+    cfg = tiny_test_config()
+    cfg.output_dir = str(tmp_path)
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 8
+    cfg.data.synthetic_eval_images = 4
+    cfg.train.batch_size_train = 8
+    cfg.train.schedular.epochs = 1
+    cfg.parallel.data = 1
+    cfg.parallel.negatives = "fused"
+    tr = Trainer(cfg, devices=jax.devices()[:1])
+    stats = tr.train_epoch(0)
+    assert np.isfinite(float(stats["loss_itc_vs"]))
