@@ -156,3 +156,93 @@ def make_video_dataset(
         text_vocab=str(root / "vocab.txt"),
         num_workers=2,
     )
+
+
+def make_mscoco_dataset(
+    root: str,
+    n_train: int = 8,
+    n_eval: int = 4,
+    caps_per_image: int = 2,
+    image_res: int = 32,
+    seed: int = 0,
+    target_lang: str = "zh",
+) -> DataConfig:
+    """MSCOCO-layout variant: numeric image ids indirected through
+    `img_id/image_ids.txt` (reference retrieval_dataset.py:47-54,117-122)
+    and per-language eval id files `{lang}_{val,test}_id.txt`."""
+    rs = np.random.RandomState(seed)
+    root = Path(root)
+    (root / "img_id").mkdir(parents=True, exist_ok=True)
+    (root / "TextData").mkdir(exist_ok=True)
+    (root / "images").mkdir(exist_ok=True)
+    (root / "caption").mkdir(exist_ok=True)
+
+    from PIL import Image
+
+    name_map = {}
+
+    def write_split(name, ids, id_file):
+        lines_en, lines_t = [], []
+        for img in ids:
+            fname = f"COCO_train2014_{img}.jpg"
+            name_map[img] = fname
+            arr = rs.randint(0, 255, (image_res, image_res, 3), np.uint8)
+            Image.fromarray(arr).save(root / "images" / fname)
+            (root / "caption" / f"COCO_train2014_{img}.txt").write_text(
+                _sentence(rs, _WORDS_EN, 10))
+            for c in range(caps_per_image):
+                lines_en.append(f"{img}#enc#{c} {_sentence(rs, _WORDS_EN)}")
+                lines_t.append(
+                    f"{img}#enc2{target_lang}#{c} "
+                    f"{_sentence(rs, _WORDS_T)}")
+        (root / "TextData" / f"{name}_enc.caption.txt").write_text(
+            "\n".join(lines_en))
+        (root / "TextData" / f"{name}_enc2{target_lang}.caption.txt"
+         ).write_text("\n".join(lines_t))
+        (root / "img_id" / id_file).write_text("\n".join(ids))
+
+    def write_eval_split(stem, ids, id_file):
+        # reference naming: cocoval_zh.caption.txt → language parsed from
+        # the last underscore token (retrieval_dataset.py:164)
+        lines = []
+        for img in ids:
+            fname = f"COCO_val2014_{img}.jpg"
+            name_map[img] = fname
+            arr = rs.randint(0, 255, (image_res, image_res, 3), np.uint8)
+            Image.fromarray(arr).save(root / "images" / fname)
+            (root / "caption" / f"COCO_val2014_{img}.txt").write_text(
+                _sentence(rs, _WORDS_EN, 10))
+            for c in range(caps_per_image):
+                lines.append(f"{img}#enc#{c} {_sentence(rs, _WORDS_T)}")
+        (root / "TextData" / f"{stem}_{target_lang}.caption.txt"
+         ).write_text("\n".join(lines))
+        (root / "img_id" / id_file).write_text("\n".join(ids))
+
+    train_ids = [f"{100000 + i}" for i in range(n_train)]
+    val_ids = [f"{200000 + i}" for i in range(n_eval)]
+    test_ids = [f"{300000 + i}" for i in range(n_eval)]
+    write_split("train", train_ids, "train_id.txt")
+    # mscoco eval id files are per-language (retrieval_dataset.py:164-165)
+    write_eval_split("cocoval", val_ids, f"{target_lang}_val_id.txt")
+    write_eval_split("cocotest", test_ids, f"{target_lang}_test_id.txt")
+    (root / "img_id" / "image_ids.txt").write_text(
+        "\n".join(f"{k} {v}" for k, v in name_map.items()))
+
+    write_tiny_wordpiece_vocab(str(root / "vocab.txt"),
+                               _WORDS_EN + _WORDS_T)
+    return DataConfig(
+        dataset="mscoco",
+        root_dir=str(root),
+        train_file=["TextData/train_enc.caption.txt",
+                    f"TextData/train_enc2{target_lang}.caption.txt"],
+        val_file={target_lang:
+                  f"TextData/cocoval_{target_lang}.caption.txt"},
+        test_file={target_lang:
+                   f"TextData/cocotest_{target_lang}.caption.txt"},
+        image_root=str(root / "images"),
+        generated_caption_dir=str(root / "caption"),
+        max_tokens=24,
+        token_buckets=[16, 24],
+        text_vocab=str(root / "vocab.txt"),
+        num_workers=2,
+    )

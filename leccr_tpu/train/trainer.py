@@ -126,6 +126,18 @@ class Trainer:
         self.is_main = self.process_index == 0
 
         self.train_ds, self.val_ds, self.test_ds = build_datasets(cfg)
+        if self.is_main:
+            # startup summary (reference image_Retrieval_caption.py:345-349)
+            import os as _os
+
+            print(f"### Train Files: "
+                  f"{[_os.path.basename(p) for p in cfg.data.train_file]}")
+            print(f"### Train data {len(self.train_ds)}, batch size "
+                  f"{cfg.train.batch_size_train}, mesh {dict(self.mesh.shape)}")
+            print(f"### Validation: "
+                  f"{[(k, len(d)) for k, d in self.val_ds.items()]}")
+            print(f"### Test: "
+                  f"{[(k, len(d)) for k, d in self.test_ds.items()]}")
 
         if cfg.model.text.kind == "xlmr":
             from leccr_tpu.data.tokenizers import UnigramTokenizer

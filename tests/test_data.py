@@ -250,3 +250,24 @@ def test_eval_loader_batches(tmp_path):
     out = list(device_prefetch(iter([{"x": np.ones((2, 2))}]), sharding))
     assert len(out) == 1
     assert isinstance(out[0]["x"], jax.Array)
+
+
+def test_mscoco_layout_dataset(tmp_path):
+    """mscoco id→filename indirection + per-language eval id files."""
+    from leccr_tpu.data.datasets import ImageEvalDataset, ImageTrainDataset
+    from leccr_tpu.data.synthetic import make_mscoco_dataset
+
+    cfg = make_mscoco_dataset(str(tmp_path / "coco"), n_train=4, n_eval=2,
+                              image_res=32)
+    train = ImageTrainDataset(cfg, image_res=32)
+    assert len(train) == 8
+    sample = train.get(0, np.random.RandomState(0))
+    assert sample.image_u8.shape == (32, 32, 3)
+    assert len(sample.texts) == 2
+    assert sample.caption
+
+    ev = ImageEvalDataset(cfg, cfg.test_file["zh"], image_res=32,
+                          split="test")
+    assert len(ev) == 2
+    img, cap, i = ev.get(0)
+    assert img.shape == (32, 32, 3) and cap
