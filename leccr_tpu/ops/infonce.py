@@ -200,7 +200,7 @@ def infonce_stats(q, k, idx_q, idx_k, inv_temp, impl: str = "auto",
 # ------------------------------------------------------ Pallas backward
 
 def _bwd_dq_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
-                   pc_ref, nvalid_ref, dq_ref, dt_ref, acc, dt_acc):
+                   pc_ref, nvalid_ref, dq_ref, acc):
     j = pl.program_id(1)
     nk = pl.num_programs(1)
     inv_temp = invt_ref[0]
@@ -210,7 +210,6 @@ def _bwd_dq_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
     @pl.when(j == 0)
     def _init():
         acc[:] = jnp.zeros_like(acc)
-        dt_acc[0, 0] = jnp.float32(0.0)  # SMEM: scalar stores only
 
     logits = jnp.dot(q_ref[:], k_ref[:].T,
                      preferred_element_type=jnp.float32) * inv_temp
@@ -221,14 +220,10 @@ def _bwd_dq_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
     w = p - pos.astype(jnp.float32) / jnp.maximum(pc_ref[:, 0], 1.0)[:, None]
     acc[:] = acc[:] + jnp.dot(w, k_ref[:],
                               preferred_element_type=jnp.float32)
-    dt_acc[0, 0] = dt_acc[0, 0] + jnp.sum(
-        jnp.where(valid, w * logits, 0.0))
 
     @pl.when(j == nk - 1)
     def _flush():
         dq_ref[:] = acc[:]
-        # dt output is unblocked (full array in SMEM): index by program id
-        dt_ref[pl.program_id(0), 0] = dt_acc[0, 0]
 
 
 def _bwd_dk_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
@@ -283,7 +278,7 @@ def _bwd_pallas(q, k, idx, temp, lse, pc, coef,
     nv_n = jnp.asarray([n], jnp.int32)
     nv_m = jnp.asarray([m], jnp.int32)
 
-    dq_pad, dt_parts = pl.pallas_call(
+    dq_pad = pl.pallas_call(
         _bwd_dq_kernel,
         grid=(mp // block_q, np_ // block_k),
         in_specs=[
@@ -302,18 +297,11 @@ def _bwd_pallas(q, k, idx, temp, lse, pc, coef,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block_q, e), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mp, e), jnp.float32),
-            jax.ShapeDtypeStruct((mp // block_q, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((block_q, e), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, e), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block_q, e), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
         ],
         interpret=interpret,
     )(invt, qp, kp, idx_qp, idx_kp, lse_p, pc_p, nv_n)
@@ -347,9 +335,10 @@ def _bwd_pallas(q, k, idx, temp, lse, pc, coef,
     scale = coef * inv_temp
     dq = dq_pad[:m] * scale
     dk = dk_pad[:n] * scale
-    # dt_parts holds Σ w·logits = inv_temp·Σ w·(q·k);
-    # d temp = -coef·Σ w·(q·k)·inv_temp² = -coef·(Σ w·logits)·inv_temp
-    d_temp = -coef * jnp.sum(dt_parts) * inv_temp
+    # dq_raw_i·q_i = Σ_j w_ij (q_i·k_j), so the temperature cotangent falls
+    # out of dq without any extra kernel output:
+    # d temp = -coef·Σ w·(q·k)·inv_temp²
+    d_temp = -coef * jnp.sum(dq_pad[:m] * q) * inv_temp * inv_temp
     return dq, dk, d_temp
 
 
