@@ -42,3 +42,39 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def video():
+    """vtr_caption on chip: temporal tower + double-sim eval."""
+    import tempfile
+
+    from leccr_tpu.data.synthetic import make_video_dataset
+
+    tmp = tempfile.mkdtemp(prefix="leccr_video_")
+    data_cfg = make_video_dataset(tmp, n_train=16, n_eval=6,
+                                  feat_dim=4096, frames_per_video=8)
+    cfg = LECCRConfig()
+    cfg.output_dir = tmp + "/out"
+    cfg.model.vision.kind = "temporal"
+    cfg.model.vision.frame_feat_dim = 4096
+    cfg.model.vision.num_layers = 1
+    cfg.model.vision.max_frames = 8
+    cfg.model.num_queries = 2
+    cfg.model.dtype = "bfloat16"
+    cfg.data = data_cfg
+    cfg.data.max_tokens = 48
+    cfg.data.token_buckets = [32]
+    cfg.train.batch_size_train = 16
+    cfg.train.batch_size_test = 8
+    cfg.train.batch_size_test_text = 16
+    cfg.train.schedular.epochs = 1
+    cfg.parallel.data = 1
+    t0 = time.time()
+    tr = Trainer(cfg)
+    stats = tr.fit()
+    print("video stats:", {k: v for k, v in stats.items() if "sumr" in k})
+    print(f"video total {time.time()-t0:.1f}s OK")
+
+
+if __name__ == "__main__" and "--video" in sys.argv:
+    video()

@@ -271,3 +271,36 @@ def test_mscoco_layout_dataset(tmp_path):
     assert len(ev) == 2
     img, cap, i = ev.get(0)
     assert img.shape == (32, 32, 3) and cap
+
+
+def test_metrics_module():
+    from leccr_tpu.train.metrics import JSONLLogger, MetricLogger, SmoothedValue
+
+    sv = SmoothedValue(window_size=3)
+    for v in (1.0, 2.0, 3.0, 4.0):
+        sv.update(v)
+    assert sv.value == 4.0
+    assert sv.avg == pytest.approx(3.0)  # window (2,3,4)
+    assert sv.global_avg == pytest.approx(2.5)
+    assert sv.median == 3.0
+
+    outputs = []
+    ml = MetricLogger(print_fn=outputs.append)
+    for item in ml.log_every(range(5), print_freq=2, header="t"):
+        ml.update(loss=float(item))
+    assert ml.meters["loss"].global_avg == pytest.approx(2.0)
+    assert any("t  [0/5]" in line for line in outputs)
+    assert any("Total time" in line for line in outputs)
+
+
+def test_jsonl_logger(tmp_path):
+    import json
+
+    from leccr_tpu.train.metrics import JSONLLogger
+
+    lg = JSONLLogger(str(tmp_path), enabled=True)
+    lg.write({"a": 1})
+    lg.write({"b": np.float64(2.5)})
+    lines = (tmp_path / "log.txt").read_text().strip().splitlines()
+    assert json.loads(lines[0]) == {"a": 1}
+    assert json.loads(lines[1]) == {"b": 2.5}

@@ -61,3 +61,38 @@ def test_embed_and_search(embedder):
     i2t = embedder.search_images(index, ["a man", "red bike", "dog", "x a"],
                                  k=2)
     assert len(i2t) == 6 and len(i2t[0]) == 2
+
+
+def test_from_checkpoint_random_init(tmp_path):
+    """Embedder.from_checkpoint with no checkpoint: random init, still
+    serves end-to-end."""
+    from leccr_tpu.config import tiny_test_config
+
+    vocab = tmp_path / "vocab.txt"
+    write_tiny_wordpiece_vocab(str(vocab), "a man rides bike dog".split())
+    cfg = tiny_test_config()
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.data.text_vocab = str(vocab)
+    cfg_path = tmp_path / "cfg.json"
+    cfg.save(str(cfg_path))
+
+    emb = Embedder.from_checkpoint(str(cfg_path), batch_size=2)
+    res = cfg.model.vision.image_res
+    images = np.random.RandomState(0).randint(
+        0, 255, (3, res, res, 3)).astype(np.uint8)
+    index = emb.build_image_index(images, ["a man", "a dog", "a bike"])
+    hits = emb.search_texts(["man rides"], index, k=2)
+    assert len(hits[0]) == 2
+
+
+def test_profiling_utils(tmp_path):
+    from leccr_tpu.utils.profiling import step_timer, trace_context
+
+    with trace_context(None):
+        pass  # no-op path
+    t = step_timer()
+    t.tick()
+    t.tick()
+    t.tick()
+    s = t.summary()
+    assert s["steps"] == 2 and s["steps_per_sec"] > 0
