@@ -120,6 +120,10 @@ class ModelConfig:
     # trades ~30% more FLOPs for O(layers) less activation memory —
     # required for the 32k-negative scale config
     remat: bool = False
+    # run tower depth as lax.scan over stacked layer params: ~num_layers x
+    # faster XLA compiles with identical math (weight import via
+    # convert.*(scan=True))
+    scan_layers: bool = False
 
 
 @dataclass

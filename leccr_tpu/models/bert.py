@@ -77,12 +77,36 @@ class _BertLayer(nn.Module):
                             name="output_ln")(out + attn)
 
 
+class _ScannedBertLayer(nn.Module):
+    """nn.scan adapter: (carry=hidden, None) -> (hidden, None)."""
+
+    cfg: TextConfig
+    dtype: jnp.dtype
+    deterministic: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, hidden, _):
+        layer_cls = (nn.remat(_BertLayer, static_argnums=(3,))
+                     if self.remat else _BertLayer)
+        hidden, mask = hidden
+        out = layer_cls(self.cfg, self.dtype, name="layer")(
+            hidden, mask, self.deterministic)
+        return (out, mask), None
+
+
 class BertEncoder(nn.Module):
-    """BERT encoder returning last_hidden_state [B, L, H]."""
+    """BERT encoder returning last_hidden_state [B, L, H].
+
+    scan_layers=True stacks the layer params along a leading axis and runs
+    the depth loop as lax.scan — one compiled layer body instead of
+    num_layers unrolled copies (an order of magnitude faster XLA compiles at
+    production sizes; weight import via convert.bert_params(scan=True))."""
 
     cfg: TextConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -116,6 +140,16 @@ class BertEncoder(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="embeddings_ln")(hidden)
         hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic)
+
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScannedBertLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.num_layers,
+            )(cfg, self.dtype, deterministic, self.remat, name="layers")
+            (hidden, _), _ = scanned((hidden, attention_mask), None)
+            return hidden
 
         # static_argnums: `deterministic` (arg 3, counting self) is a python
         # bool that gates dropout branches

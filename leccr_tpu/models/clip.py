@@ -102,6 +102,24 @@ class _ResidualBlock(nn.Module):
         return x + h
 
 
+class _ScannedResidualBlock(nn.Module):
+    """nn.scan adapter for _ResidualBlock (carry = hidden state)."""
+
+    width: int
+    heads: int
+    causal: bool
+    dtype: jnp.dtype
+    remat: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        block_cls = (nn.remat(_ResidualBlock) if self.remat
+                     else _ResidualBlock)
+        x = block_cls(self.width, self.heads, self.causal, self.dtype,
+                      name="block")(x)
+        return x, None
+
+
 class _Transformer(nn.Module):
     width: int
     layers: int
@@ -109,9 +127,20 @@ class _Transformer(nn.Module):
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScannedResidualBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.layers,
+            )(self.width, self.heads, self.causal, self.dtype, self.remat,
+              name="resblocks")
+            x, _ = scanned(x, None)
+            return x
         block_cls = (nn.remat(_ResidualBlock) if self.remat
                      else _ResidualBlock)
         for i in range(self.layers):
@@ -154,6 +183,7 @@ class CLIPVisionTower(nn.Module):
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, image: jax.Array) -> jax.Array:
@@ -180,7 +210,8 @@ class CLIPVisionTower(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         x = _Transformer(self.width, self.layers, self.heads, dtype=self.dtype,
-                         remat=self.remat, name="transformer")(x)
+                         remat=self.remat, scan_layers=self.scan_layers,
+                         name="transformer")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
         proj = self.param(
             "proj", nn.initializers.normal(self.width ** -0.5),
@@ -203,6 +234,7 @@ class CLIPTextTower(nn.Module):
     context_length: int = 77
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, text_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -214,6 +246,7 @@ class CLIPTextTower(nn.Module):
         x = tok + pos[None, : text_ids.shape[1]].astype(self.dtype)
         x = _Transformer(self.width, self.layers, self.heads, causal=True,
                          dtype=self.dtype, remat=self.remat,
+                         scan_layers=self.scan_layers,
                          name="transformer")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         proj = self.param(
@@ -226,7 +259,7 @@ class CLIPTextTower(nn.Module):
         return pooled, hidden
 
 
-def build_vision_tower(cfg, dtype=jnp.float32, remat=False
+def build_vision_tower(cfg, dtype=jnp.float32, remat=False, scan_layers=False
                        ) -> Tuple[CLIPVisionTower, int]:
     """Build a CLIPVisionTower from a VisionConfig; returns (tower, width seen
     by the retrieval head)."""
@@ -239,5 +272,5 @@ def build_vision_tower(cfg, dtype=jnp.float32, remat=False
     tower = CLIPVisionTower(
         width=width, layers=depth, heads=heads,
         patch_size=var.patch_size, embed_dim=embed_dim, dtype=dtype,
-        remat=remat)
+        remat=remat, scan_layers=scan_layers)
     return tower, embed_dim

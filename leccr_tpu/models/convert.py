@@ -60,11 +60,20 @@ def _clip_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     }
 
 
+def _stack_layers(layer_dicts):
+    """Per-layer param trees → one tree with a leading layer axis (for
+    scan_layers towers)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *layer_dicts)
+
+
 def clip_vision_params(
     sd: Mapping[str, Any],
     num_layers: int,
     target_grid: int | None = None,
     prefix: str = "visual",
+    scan: bool = False,
 ) -> Dict[str, Any]:
     """OpenAI CLIP `visual.*` state_dict → CLIPVisionTower params.
 
@@ -86,31 +95,36 @@ def clip_vision_params(
         "proj": _np(sd[f"{prefix}.proj"]),
         "ln_pre": _layernorm(sd, f"{prefix}.ln_pre"),
         "ln_post": _layernorm(sd, f"{prefix}.ln_post"),
-        "transformer": {
-            f"resblock_{i}": _clip_block(
-                sd, f"{prefix}.transformer.resblocks.{i}")
-            for i in range(num_layers)
-        },
+        "transformer": _clip_transformer(
+            [_clip_block(sd, f"{prefix}.transformer.resblocks.{i}")
+             for i in range(num_layers)], scan),
     }
     return params
 
 
-def clip_text_params(sd: Mapping[str, Any], num_layers: int) -> Dict[str, Any]:
+def _clip_transformer(blocks, scan: bool) -> Dict[str, Any]:
+    if scan:
+        return {"resblocks": {"block": _stack_layers(blocks)}}
+    return {f"resblock_{i}": b for i, b in enumerate(blocks)}
+
+
+def clip_text_params(sd: Mapping[str, Any], num_layers: int,
+                     scan: bool = False) -> Dict[str, Any]:
     """OpenAI CLIP text-transformer state_dict → CLIPTextTower params."""
     return {
         "token_embedding": _embed(sd, "token_embedding.weight"),
         "positional_embedding": _np(sd["positional_embedding"]),
         "text_projection": _np(sd["text_projection"]),
         "ln_final": _layernorm(sd, "ln_final"),
-        "transformer": {
-            f"resblock_{i}": _clip_block(sd, f"transformer.resblocks.{i}")
-            for i in range(num_layers)
-        },
+        "transformer": _clip_transformer(
+            [_clip_block(sd, f"transformer.resblocks.{i}")
+             for i in range(num_layers)], scan),
     }
 
 
 def bert_params(
-    sd: Mapping[str, Any], num_layers: int, prefix: str = ""
+    sd: Mapping[str, Any], num_layers: int, prefix: str = "",
+    scan: bool = False,
 ) -> Dict[str, Any]:
     """HF BertModel state_dict → BertEncoder params.
 
@@ -124,9 +138,10 @@ def bert_params(
             sd, f"{p}embeddings.token_type_embeddings.weight"),
         "embeddings_ln": _layernorm(sd, f"{p}embeddings.LayerNorm"),
     }
+    layers = []
     for i in range(num_layers):
         lp = f"{p}encoder.layer.{i}"
-        params[f"layer_{i}"] = {
+        layers.append({
             "attention": {
                 "query": _dense(sd, f"{lp}.attention.self.query"),
                 "key": _dense(sd, f"{lp}.attention.self.key"),
@@ -137,7 +152,12 @@ def bert_params(
             "intermediate": _dense(sd, f"{lp}.intermediate.dense"),
             "output": _dense(sd, f"{lp}.output.dense"),
             "output_ln": _layernorm(sd, f"{lp}.output.LayerNorm"),
-        }
+        })
+    if scan:
+        params["layers"] = {"layer": _stack_layers(layers)}
+    else:
+        for i, layer in enumerate(layers):
+            params[f"layer_{i}"] = layer
     return params
 
 
@@ -169,6 +189,7 @@ def clip_vision_params_from_hf(
     target_grid: int | None = None,
     prefix: str = "vision_model",
     projection_key: str = "visual_projection.weight",
+    scan: bool = False,
 ) -> Dict[str, Any]:
     """HF CLIPVisionModel(WithProjection) state_dict → CLIPVisionTower."""
     import jax.numpy as jnp
@@ -190,10 +211,9 @@ def clip_vision_params_from_hf(
         "proj": proj,
         "ln_pre": _layernorm(sd, f"{prefix}.pre_layrnorm"),
         "ln_post": _layernorm(sd, f"{prefix}.post_layernorm"),
-        "transformer": {
-            f"resblock_{i}": _hf_clip_block(sd, f"{prefix}.encoder.layers.{i}")
-            for i in range(num_layers)
-        },
+        "transformer": _clip_transformer(
+            [_hf_clip_block(sd, f"{prefix}.encoder.layers.{i}")
+             for i in range(num_layers)], scan),
     }
 
 

@@ -79,7 +79,8 @@ class LECCRModel(nn.Module):
 
         if cfg.vision.kind == "clip_vit":
             self.vision_tower, self.vision_width = build_vision_tower(
-                cfg.vision, dtype=dtype, remat=cfg.remat)
+                cfg.vision, dtype=dtype, remat=cfg.remat,
+                scan_layers=cfg.scan_layers)
         elif cfg.vision.kind == "temporal":
             self.vision_width = cfg.vision.frame_feat_dim
             self.vision_tower = TemporalTower(
@@ -93,7 +94,8 @@ class LECCRModel(nn.Module):
             raise ValueError(f"unknown vision tower: {cfg.vision.kind}")
 
         self.text_encoder = BertEncoder(cfg.text, dtype=dtype,
-                                        remat=cfg.remat)
+                                        remat=cfg.remat,
+                                        scan_layers=cfg.scan_layers)
         self.text_width = cfg.text.hidden_size
 
         if cfg.caption_encoder_name == "mbert":
@@ -113,6 +115,7 @@ class LECCRModel(nn.Module):
                 vocab_size=var.vocab_size,
                 context_length=var.context_length,
                 dtype=dtype,
+                scan_layers=cfg.scan_layers,
             )
             self.caption_width = self.vision_width
         else:

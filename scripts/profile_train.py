@@ -30,6 +30,7 @@ def main():
     cfg = LECCRConfig()
     cfg.model.vision.image_res = RES
     cfg.model.dtype = "bfloat16"
+    cfg.model.scan_layers = "--scan" in sys.argv
     model = LECCRModel(cfg.model)
     rs = np.random.RandomState(0)
     batch = {

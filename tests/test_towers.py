@@ -166,3 +166,52 @@ def test_xlmr_matches_hf_roberta():
         {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got[:, :6]), want.numpy()[:, :6],
                                atol=1e-4)
+
+
+def test_bert_scan_layers_matches_hf():
+    """scan_layers tower == HF numerics with stacked converted weights."""
+    from transformers import BertConfig, BertModel
+
+    hf_cfg = BertConfig(
+        vocab_size=150, hidden_size=48, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=32, attn_implementation="eager")
+    torch.manual_seed(5)
+    hf = BertModel(hf_cfg).eval()
+    ids = np.random.RandomState(5).randint(0, 150, (2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    with torch.no_grad():
+        want = hf(torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)).last_hidden_state
+
+    cfg = TextConfig(vocab_size=150, hidden_size=48, num_layers=3,
+                     num_heads=4, intermediate_size=96,
+                     max_position_embeddings=32)
+    params = bert_params(dict(hf.state_dict()), num_layers=3, scan=True)
+    got = BertEncoder(cfg, scan_layers=True).apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
+
+
+def test_clip_scan_layers_matches_hf():
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=3,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        projection_dim=48, attn_implementation="eager")
+    torch.manual_seed(6)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+    img = np.random.RandomState(6).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        out = hf.vision_model(torch.tensor(img))
+        hidden = hf.vision_model.post_layernorm(out.last_hidden_state)
+        want = hf.visual_projection(hidden)
+
+    params = clip_vision_params_from_hf(dict(hf.state_dict()), num_layers=3,
+                                        scan=True)
+    tower = CLIPVisionTower(width=64, layers=3, heads=4, patch_size=8,
+                            embed_dim=48, scan_layers=True)
+    got = tower.apply({"params": params},
+                      jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4)
