@@ -120,9 +120,12 @@ class ModelConfig:
     # trades ~30% more FLOPs for O(layers) less activation memory —
     # required for the 32k-negative scale config
     remat: bool = False
-    # run tower depth as lax.scan over stacked layer params: ~num_layers x
-    # faster XLA compiles with identical math (weight import via
-    # convert.*(scan=True))
+    # run tower depth as lax.scan over stacked layer params (weight import
+    # via convert.*(scan=True)): shrinks the HLO ~num_layers x — useful for
+    # very deep towers (ViT-L/XLM-R-large).  For TRAINING combine with
+    # remat=True — plain scan stacks every layer's attention residuals for
+    # the backward pass and blows HBM; eval/serving is fine without.
+    # Measured on v5e @ ViT-B scale: compile ~parity, step +25% (remat).
     scan_layers: bool = False
 
 

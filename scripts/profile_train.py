@@ -31,6 +31,7 @@ def main():
     cfg.model.vision.image_res = RES
     cfg.model.dtype = "bfloat16"
     cfg.model.scan_layers = "--scan" in sys.argv
+    cfg.model.remat = cfg.model.scan_layers or "--remat" in sys.argv
     model = LECCRModel(cfg.model)
     rs = np.random.RandomState(0)
     batch = {
