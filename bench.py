@@ -103,31 +103,45 @@ def jax_eval_time(quick: bool = False) -> float:
         np.asarray(rs.randn(n_img, 256), np.float32),
         np.asarray(rs.randn(n_txt, 256), np.float32), txt2img, img2txt)
 
-    # all batches dispatch asynchronously; embeddings stay ON DEVICE and are
-    # concatenated there — the only host sync is the final rank fetch
-    t0 = time.time()
-    text_embeds = []
-    for i in range(0, n_txt, TEXT_BS):
-        ids = text_ids[i: i + TEXT_BS]
-        msk = text_mask[i: i + TEXT_BS]
-        if len(ids) < TEXT_BS:
-            pad = TEXT_BS - len(ids)
-            ids = np.pad(ids, ((0, pad), (0, 0)))
-            msk = np.pad(msk, ((0, pad), (0, 0)))
-        out = embed_texts(params, ids, msk)
-        text_embeds.append(out[: min(TEXT_BS, n_txt - i)])
-    text_embeds = jnp.concatenate(text_embeds)
+    # ONE dispatch per modality: batches are stacked on host and looped on
+    # device via lax.map (40 tunnel round-trips -> 2), embeddings stay on
+    # device, and the only host sync is the final rank fetch
+    nt = -(-n_txt // TEXT_BS)
+    pad_t = nt * TEXT_BS - n_txt
+    ids_stack = np.pad(text_ids, ((0, pad_t), (0, 0))).reshape(
+        nt, TEXT_BS, -1)
+    msk_stack = np.pad(text_mask, ((0, pad_t), (0, 0))).reshape(
+        nt, TEXT_BS, -1)
+    ni = n_img // IMG_BS
+    img_stack = images[: ni * IMG_BS].reshape(
+        ni, IMG_BS, IMAGE_RES, IMAGE_RES, 3)
+    capi_stack = cap_ids[: ni * IMG_BS].reshape(ni, IMG_BS, -1)
+    capm_stack = cap_mask[: ni * IMG_BS].reshape(ni, IMG_BS, -1)
 
-    feats = []
-    for i in range(0, n_img, IMG_BS):
-        batch = {
-            "vision": normalize_images(jnp.asarray(images[i: i + IMG_BS])),
-            "caption_ids": cap_ids[i: i + IMG_BS],
-            "caption_mask": cap_mask[i: i + IMG_BS],
-        }
-        out = embed_images(params, batch)
-        feats.append(out["feat"])
-    img_feats = jnp.concatenate(feats)
+    @jax.jit
+    def embed_all_texts(p, ids, msk):
+        return jax.lax.map(
+            lambda x: model.apply({"params": p}, x[0], x[1],
+                                  method="embed_texts"),
+            (ids, msk)).reshape(-1, 256)
+
+    @jax.jit
+    def embed_all_images(p, imgs, ci, cm):
+        def one(x):
+            batch = {"vision": normalize_images(x[0]),
+                     "caption_ids": x[1], "caption_mask": x[2]}
+            return model.apply({"params": p}, batch,
+                               method="embed_images")["feat"]
+        return jax.lax.map(one, (imgs, ci, cm)).reshape(-1, 256)
+
+    # warm the batched programs (same shapes as the timed run)
+    _ = np.asarray(embed_all_texts(params, ids_stack, msk_stack))
+    _ = np.asarray(embed_all_images(params, img_stack, capi_stack,
+                                    capm_stack))
+
+    t0 = time.time()
+    text_embeds = embed_all_texts(params, ids_stack, msk_stack)[:n_txt]
+    img_feats = embed_all_images(params, img_stack, capi_stack, capm_stack)
 
     i2t, t2i = retrieval_ranks(img_feats, text_embeds, txt2img, img2txt)
     elapsed = time.time() - t0
