@@ -304,3 +304,33 @@ def test_jsonl_logger(tmp_path):
     lines = (tmp_path / "log.txt").read_text().strip().splitlines()
     assert json.loads(lines[0]) == {"a": 1}
     assert json.loads(lines[1]) == {"b": 2.5}
+
+
+def test_feats_caption_loader(tmp_path):
+    """Loader collation of .npy caption features (caps padded + masked)."""
+    from leccr_tpu.data.datasets import ImageTrainDataset
+    from leccr_tpu.data.pipeline import TrainLoader
+    from leccr_tpu.data.synthetic import make_image_dataset
+    from leccr_tpu.data.tokenizers import WordPieceTokenizer
+
+    cfg = make_image_dataset(str(tmp_path / "ds"), n_train=4, n_eval=2,
+                             caps_per_image=1, image_res=32)
+    # convert the caption dir to feats
+    rs = np.random.RandomState(0)
+    cap_dir = tmp_path / "feats"
+    cap_dir.mkdir()
+    for i in range(4):
+        np.save(cap_dir / f"img{i:04d}.npy",
+                rs.randn(rs.randint(2, 6), 768).astype(np.float32))
+    cfg.generated_caption_dir = str(cap_dir)
+    cfg.generated_caption_type = "feats"
+
+    ds = ImageTrainDataset(cfg, image_res=32)
+    tok = WordPieceTokenizer(cfg.text_vocab)
+    loader = TrainLoader(ds, tok, cfg, batch_size=4, num_workers=1)
+    batch = next(iter(loader.epoch(0)))
+    assert "caption_feats" in batch and "caption_ids" not in batch
+    assert batch["caption_feats"].shape[2] == 768
+    assert batch["caption_mask"].shape == batch["caption_feats"].shape[:2]
+    # masks mark true lengths
+    assert (batch["caption_mask"].sum(1) >= 2).all()

@@ -159,3 +159,40 @@ def test_remat_matches_non_remat():
         m2.apply({"params": p}, batch).image_feat))(params)
     assert np.isfinite(
         float(jnp.sum(jnp.abs(g["text_proj"]["kernel"]))))
+
+
+def test_caption_feats_path():
+    """generated_caption_type='feats': precomputed per-token caption
+    features bypass the caption encoder (reference
+    retrieval_dataset.py:67-69 + model branch)."""
+    cfg = tiny_test_config()
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(2)
+    res = cfg.model.vision.image_res
+    vocab = cfg.model.text.vocab_size
+    T = 5
+    batch = {
+        "vision": jnp.asarray(rs.randn(B, res, res, 3), jnp.float32),
+        "text_ids_s": jnp.asarray(rs.randint(1, vocab, (B, LT))),
+        "text_mask_s": jnp.ones((B, LT), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(1, vocab, (B, LT))),
+        "text_mask_t": jnp.ones((B, LT), jnp.int32),
+        # precomputed caption features at text-tower width
+        "caption_feats": jnp.asarray(
+            rs.randn(B, T, cfg.model.text.hidden_size), jnp.float32),
+        "caption_mask": jnp.asarray(
+            np.concatenate([np.ones((B, 3)), np.zeros((B, T - 3))], 1)
+            .astype(np.int32)),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    emb = model.apply({"params": params}, batch)
+    assert np.isfinite(np.asarray(emb.image_feat)).all()
+    # no gradient flows into anything through the caption features
+    g = jax.grad(lambda p: jnp.sum(
+        model.apply({"params": p}, batch).ori_slots ** 2))(params)
+    assert float(sum(jnp.sum(jnp.abs(x))
+                     for x in jax.tree.leaves(g["text_encoder"]))) == 0.0
+
+    # eval path too
+    out = model.apply({"params": params}, batch, method="embed_images")
+    assert out["feat"].shape == (B, cfg.model.embed_dim)
