@@ -137,6 +137,10 @@ class TrainLoader:
             [None] * len(ds) for _ in range(n_lang)]
         cap = {}
         max_len = self.cfg.max_tokens
+        if self.cfg.generated_caption_type == "feats":
+            # fixed width across the dataset -> no per-batch recompiles
+            self._feats_max_t = max(
+                np.asarray(v).shape[0] for v in ds.generated.values())
         from leccr_tpu.data.text import normalize_caption, video_id_of
         for k, cmap in enumerate(ds.caption_maps):
             texts = []
@@ -225,7 +229,7 @@ class TrainLoader:
 
         if self.cfg.generated_caption_type == "feats":
             feats = [np.asarray(s.caption, np.float32) for s in samples]
-            t = max(f.shape[0] for f in feats)
+            t = self._feats_max_t  # dataset-global width: static shapes
             arr = np.zeros((len(feats), t, feats[0].shape[1]), np.float32)
             msk = np.zeros((len(feats), t), np.int32)
             for i, f in enumerate(feats):
@@ -335,8 +339,11 @@ class EvalLoader:
                 else:
                     batch["vision"] = np.stack(vision)
                 if self.cfg.generated_caption_type == "feats":
-                    t = max(np.asarray(c).shape[0] for c in caps)
-                    arr = np.zeros((len(caps), t, 768), np.float32)
+                    # dataset-global width + true feat dim: static shapes
+                    all_feats = self.dataset.generated.values()
+                    t = max(np.asarray(v).shape[0] for v in all_feats)
+                    d = np.asarray(caps[0]).shape[1]
+                    arr = np.zeros((len(caps), t, d), np.float32)
                     msk = np.zeros((len(caps), t), np.int32)
                     for i, c in enumerate(caps):
                         c = np.asarray(c, np.float32)
