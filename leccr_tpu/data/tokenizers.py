@@ -289,34 +289,139 @@ class ClipBPETokenizer:
 # Unigram (SentencePiece-style) tokenizer — XLM-R support
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# SentencePiece ModelProto wire-format reader (no protobuf/sentencepiece dep)
+# --------------------------------------------------------------------------
+
+_SP_TYPE_NORMAL, _SP_TYPE_UNKNOWN, _SP_TYPE_CONTROL = 1, 2, 3
+_SP_TYPE_USER, _SP_TYPE_UNUSED, _SP_TYPE_BYTE = 4, 5, 6
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _skip_field(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:  # varint
+        _, pos = _read_varint(buf, pos)
+    elif wire == 1:  # fixed64
+        pos += 8
+    elif wire == 2:  # length-delimited
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+    elif wire == 5:  # fixed32
+        pos += 4
+    else:
+        raise ValueError(f"unsupported protobuf wire type {wire}")
+    return pos
+
+
+def parse_sentencepiece_model(path: str) -> List[Tuple[str, float, int]]:
+    """Parse a sentencepiece ``.model`` file (serialized ModelProto) into
+    ``[(piece, score, type), ...]`` in id order, with a hand-rolled protobuf
+    wire-format reader — the environment has neither ``sentencepiece`` nor
+    ``protobuf``, and only the ``pieces`` field (ModelProto field 1;
+    SentencePiece sub-fields: piece=1 string, score=2 float, type=3 enum,
+    default NORMAL) is needed for inference.  Unknown fields are skipped by
+    wire type, so real model files (which carry trainer/normalizer specs)
+    parse fine."""
+    buf = Path(path).read_bytes()
+    pieces: List[Tuple[str, float, int]] = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # repeated SentencePiece
+            ln, pos = _read_varint(buf, pos)
+            sub, end = buf, pos + ln
+            piece, score, ptype = "", 0.0, _SP_TYPE_NORMAL
+            while pos < end:
+                stag, pos = _read_varint(sub, pos)
+                sfield, swire = stag >> 3, stag & 7
+                if sfield == 1 and swire == 2:
+                    sln, pos = _read_varint(sub, pos)
+                    piece = sub[pos:pos + sln].decode("utf-8")
+                    pos += sln
+                elif sfield == 2 and swire == 5:
+                    score = float(
+                        np.frombuffer(sub[pos:pos + 4], "<f4")[0])
+                    pos += 4
+                elif sfield == 3 and swire == 0:
+                    ptype, pos = _read_varint(sub, pos)
+                else:
+                    pos = _skip_field(sub, pos, swire)
+            pieces.append((piece, score, ptype))
+        else:
+            pos = _skip_field(buf, pos, wire)
+    return pieces
+
+
+def write_sentencepiece_model(
+        path: str, pieces: Sequence[Tuple[str, float, int]]) -> None:
+    """Serialize ``[(piece, score, type), ...]`` as a ModelProto ``pieces``
+    list — the inverse of :func:`parse_sentencepiece_model`, used to build
+    tiny ``.model`` files for tests/synthetic data without the sentencepiece
+    library."""
+    def varint(v: int) -> bytes:
+        out = b""
+        while True:
+            b, v = v & 0x7F, v >> 7
+            out += bytes([b | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    blob = b""
+    for piece, score, ptype in pieces:
+        raw = piece.encode("utf-8")
+        msg = b"\x0a" + varint(len(raw)) + raw  # field 1: piece
+        msg += b"\x15" + np.float32(score).tobytes()  # field 2: score
+        if ptype != _SP_TYPE_NORMAL:
+            msg += b"\x18" + varint(ptype)  # field 3: type
+        blob += b"\x0a" + varint(len(msg)) + msg
+    Path(path).write_bytes(blob)
+
+
 class UnigramTokenizer:
-    """SentencePiece-unigram tokenizer from a TSV vocab (`piece\\tlog_prob`
-    per line, line number = token id).  Supports the XLM-R text-tower option
+    """SentencePiece-unigram tokenizer for the XLM-R text-tower option
     (TextConfig.kind == 'xlmr'); the reference's YAML names xlm-roberta but
     its live code never loads it (SURVEY.md §5 config lies).
 
-    Conventions (XLM-R/HF layout): ids 0..3 are <s>, <pad>, </s>, <unk>;
-    whitespace is the ▁ (U+2581) marker prefixed to each word; segmentation
-    is Viterbi max-sum of piece log-probs with per-character <unk> fallback.
-    Exposes the same encode() contract as WordPieceTokenizer (cls/sep/pad
-    aliases map to <s>/</s>/<pad>)."""
+    Loads either a real sentencepiece ``.model`` file (parsed directly from
+    the protobuf wire format — see :func:`parse_sentencepiece_model`) or a
+    TSV vocab (``piece\\tlog_prob`` per line, line number = token id).
+
+    For ``.model`` loads, ids follow the HF ``XLMRobertaTokenizer``
+    convention: ``<s>``/``<pad>``/``</s>``/``<unk>`` are 0..3 and every
+    sentencepiece id is shifted by +1 (the fairseq offset), so encodings are
+    drop-in compatible with HF XLM-R embeddings.  TSV loads use line numbers
+    verbatim (ids 0..3 are expected to be <s>, <pad>, </s>, <unk>).
+
+    Whitespace is the ▁ (U+2581) marker prefixed to each word; segmentation
+    is Viterbi max-sum of piece log-probs.  Characters outside the vocab use
+    byte-fallback (``<0xXX>`` BYTE pieces, sentencepiece semantics) when the
+    model defines them, else a per-character <unk>.  Exposes the same
+    encode() contract as WordPieceTokenizer (cls/sep/pad aliases map to
+    <s>/</s>/<pad>)."""
 
     WS = "▁"
 
-    def __init__(self, vocab_tsv: str, lowercase: bool = False):
-        self.vocab_file = str(vocab_tsv)
+    def __init__(self, vocab_file: str, lowercase: bool = False):
+        self.vocab_file = str(vocab_file)
         self.lowercase = lowercase
         self.pieces: Dict[str, int] = {}
         self.scores: Dict[str, float] = {}
-        for i, line in enumerate(
-                Path(vocab_tsv).read_text(encoding="utf-8").splitlines()):
-            if not line:
-                continue
-            parts = line.split("\t")
-            piece = parts[0]
-            score = float(parts[1]) if len(parts) > 1 else 0.0
-            self.pieces[piece] = i
-            self.scores[piece] = score
+        self.byte_ids: Dict[int, int] = {}  # byte value -> token id
+        if self.vocab_file.endswith(".model"):
+            self._load_model(self.vocab_file)
+        else:
+            self._load_tsv(self.vocab_file)
         self.vocab = self.pieces  # WordPiece-compatible alias
         self.cls_id = self.pieces.get("<s>", 0)
         self.pad_id = self.pieces.get("<pad>", 1)
@@ -325,10 +430,48 @@ class UnigramTokenizer:
         self.max_piece_len = max((len(p) for p in self.pieces), default=1)
         self.unk_penalty = min(self.scores.values(), default=0.0) - 10.0
 
+    def _load_tsv(self, path: str) -> None:
+        for i, line in enumerate(
+                Path(path).read_text(encoding="utf-8").splitlines()):
+            if not line:
+                continue
+            parts = line.split("\t")
+            piece = parts[0]
+            score = float(parts[1]) if len(parts) > 1 else 0.0
+            self.pieces[piece] = i
+            self.scores[piece] = score
+
+    def _load_model(self, path: str) -> None:
+        """HF XLM-R id layout: fairseq specials at 0..3, sentencepiece id i
+        -> i + 1 for every real piece (the sp model's own <unk>/<s>/</s> at
+        0..2 are shadowed by the fairseq ids)."""
+        raw = parse_sentencepiece_model(path)
+        self.pieces = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+        self.scores = {}
+        for sp_id, (piece, score, ptype) in enumerate(raw):
+            if ptype in (_SP_TYPE_CONTROL, _SP_TYPE_UNKNOWN,
+                         _SP_TYPE_UNUSED):
+                continue
+            tok_id = sp_id + 1  # fairseq offset
+            if ptype == _SP_TYPE_BYTE:  # "<0xXX>" byte-fallback piece
+                self.byte_ids[int(piece[1:-1], 16)] = tok_id
+                continue  # byte pieces never match text directly
+            self.pieces[piece] = tok_id
+            self.scores[piece] = score
+
+    def _unk_fallback(self, ch: str) -> List[int]:
+        """Byte-fallback (sentencepiece --byte_fallback): unseen characters
+        emit their UTF-8 bytes as <0xXX> pieces; plain <unk> otherwise."""
+        if self.byte_ids:
+            return [self.byte_ids.get(b, self.unk_id)
+                    for b in ch.encode("utf-8")]
+        return [self.unk_id]
+
     def _viterbi(self, text: str) -> List[int]:
         n = len(text)
         best = [float("-inf")] * (n + 1)
-        back: List[Tuple[int, int]] = [(-1, -1)] * (n + 1)  # (start, id)
+        # (start, ids) — ids is >1 token only for byte-fallback chars
+        back: List[Tuple[int, Tuple[int, ...]]] = [(-1, ())] * (n + 1)
         best[0] = 0.0
         for end in range(1, n + 1):
             lo = max(0, end - self.max_piece_len)
@@ -340,17 +483,17 @@ class UnigramTokenizer:
                     cand = best[start] + self.scores[piece]
                     if cand > best[end]:
                         best[end] = cand
-                        back[end] = (start, self.pieces[piece])
+                        back[end] = (start, (self.pieces[piece],))
             if best[end] == float("-inf"):  # unk fallback: single char
                 best[end] = best[end - 1] + self.unk_penalty
-                back[end] = (end - 1, self.unk_id)
-        ids: List[int] = []
+                back[end] = (end - 1, tuple(self._unk_fallback(text[end - 1])))
+        chunks: List[Tuple[int, ...]] = []
         pos = n
         while pos > 0:
-            start, pid = back[pos]
-            ids.append(pid)
+            start, pids = back[pos]
+            chunks.append(pids)
             pos = start
-        return ids[::-1]
+        return [pid for pids in reversed(chunks) for pid in pids]
 
     def tokenize(self, text: str) -> List[int]:
         if self.lowercase:

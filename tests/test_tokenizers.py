@@ -153,3 +153,88 @@ def test_unigram_viterbi_prefers_best_score(tmp_path):
     # but "▁a"+"b" when the combined piece is absent
     assert tok.tokenize("ab b") == [
         tok.pieces["▁ab"], tok.pieces["▁"], tok.pieces["b"]]
+
+
+def test_sentencepiece_model_roundtrip(tmp_path):
+    """Hand-rolled ModelProto writer -> parser round-trip, and the HF
+    XLM-R fairseq id layout on .model loads (specials 0..3, sp id +1)."""
+    from leccr_tpu.data.tokenizers import (
+        UnigramTokenizer,
+        parse_sentencepiece_model,
+        write_sentencepiece_model,
+    )
+
+    ws = UnigramTokenizer.WS
+    pieces = [
+        ("<unk>", 0.0, 2),      # UNKNOWN
+        ("<s>", 0.0, 3),        # CONTROL
+        ("</s>", 0.0, 3),       # CONTROL
+        (ws + "hello", -2.5, 1),
+        (ws + "world", -3.0, 1),
+        (ws, -6.0, 1),
+        ("lo", -4.0, 1),
+        ("hel", -4.5, 1),
+    ] + [(f"<0x{b:02X}>", -10.0, 6) for b in range(256)]
+    model = tmp_path / "uni.model"
+    write_sentencepiece_model(str(model), pieces)
+
+    parsed = parse_sentencepiece_model(str(model))
+    assert [(p, t) for p, _, t in parsed] == [(p, t) for p, _, t in pieces]
+    assert np.allclose([s for _, s, _ in parsed], [s for _, s, _ in pieces])
+
+    tok = UnigramTokenizer(str(model))
+    assert (tok.cls_id, tok.pad_id, tok.sep_id, tok.unk_id) == (0, 1, 2, 3)
+    # sp id 3 ("▁hello") -> 4 under the fairseq offset
+    assert tok.pieces[ws + "hello"] == 4
+    assert tok.tokenize("hello world") == [4, 5]
+    # Viterbi over subpieces when the whole word is absent
+    assert tok.tokenize("hellolo") == [tok.pieces[ws + "hello"],
+                                       tok.pieces["lo"]]
+
+
+def test_sentencepiece_byte_fallback(tmp_path):
+    """Characters with no covering piece emit their UTF-8 bytes as <0xXX>
+    BYTE pieces (sentencepiece --byte_fallback semantics)."""
+    from leccr_tpu.data.tokenizers import (
+        UnigramTokenizer,
+        write_sentencepiece_model,
+    )
+
+    ws = UnigramTokenizer.WS
+    pieces = [
+        ("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+        (ws + "price", -2.0, 1), (ws, -6.0, 1),
+    ] + [(f"<0x{b:02X}>", -10.0, 6) for b in range(256)]
+    model = tmp_path / "bf.model"
+    write_sentencepiece_model(str(model), pieces)
+    tok = UnigramTokenizer(str(model))
+
+    ids = tok.tokenize("price €")
+    euro = "€".encode("utf-8")  # 3 bytes: e2 82 ac
+    expect_tail = [tok.byte_ids[b] for b in euro]
+    assert ids[0] == tok.pieces[ws + "price"]
+    assert ids[-3:] == expect_tail
+    # without byte pieces the same char falls back to <unk>
+    tsv = tmp_path / "bf.tsv"
+    tsv.write_text("<s>\t0\n<pad>\t0\n</s>\t0\n<unk>\t0\n"
+                   f"{ws}price\t-2.0\n{ws}\t-6.0", encoding="utf-8")
+    tok2 = UnigramTokenizer(str(tsv))
+    assert tok2.tokenize("price €")[-1] == tok2.unk_id
+
+
+def test_sentencepiece_parser_skips_unknown_fields(tmp_path):
+    """Real .model files carry trainer/normalizer specs (fields 2/3) and
+    future fields; the parser must skip them by wire type."""
+    from leccr_tpu.data.tokenizers import (
+        parse_sentencepiece_model,
+        write_sentencepiece_model,
+    )
+
+    model = tmp_path / "extra.model"
+    write_sentencepiece_model(str(model), [("<unk>", 0.0, 2), ("a", -1.0, 1)])
+    blob = model.read_bytes()
+    # prepend field 2 (trainer_spec, wire 2), field 4 varint, field 5 fixed32
+    extra = b"\x12\x03abc" + b"\x20\x2a" + b"\x2d\x01\x02\x03\x04"
+    model.write_bytes(extra + blob + b"\x12\x02xy")
+    parsed = parse_sentencepiece_model(str(model))
+    assert [p for p, _, _ in parsed] == ["<unk>", "a"]
