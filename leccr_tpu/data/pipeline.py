@@ -272,13 +272,15 @@ def device_prefetch(iterator, sharding, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    from leccr_tpu.parallel.mesh import host_local_to_global
+
     def worker():
         try:
             for batch in iterator:
                 if stop.is_set():
                     return
                 q.put(jax.tree.map(
-                    lambda x: jax.device_put(x, sharding), batch))
+                    lambda x: host_local_to_global(x, sharding), batch))
         finally:
             q.put(None)
 
@@ -298,11 +300,20 @@ class EvalLoader:
     """Eval batches: text chunks (padded to max_tokens, reference
     image_Retrieval_caption.py:105) and image/caption batches padded to a
     fixed batch size (static shapes; surplus rows are sliced off after the
-    forward)."""
+    forward).
+
+    Multi-host: each process materializes only the contiguous slice of every
+    global batch that lands on its addressable devices under a
+    ``P('data')`` sharding (decode/tokenize cost drops by 1/process_count);
+    the trainer reassembles via `host_local_to_global`.  Yielded counts are
+    GLOBAL row counts."""
 
     def __init__(self, dataset, tokenizer, cfg: DataConfig, batch_size: int,
                  text_batch_size: int, caption_tokenizer=None,
-                 num_workers: int = 4):
+                 num_workers: int = 4, process_count: int = 1,
+                 process_index: int = 0):
+        assert batch_size % max(process_count, 1) == 0
+        assert text_batch_size % max(process_count, 1) == 0
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.caption_tokenizer = caption_tokenizer or tokenizer
@@ -310,26 +321,37 @@ class EvalLoader:
         self.batch_size = batch_size
         self.text_batch_size = text_batch_size
         self.num_workers = max(1, num_workers)
+        self.process_count = max(process_count, 1)
+        self.process_index = process_index
+
+    def _local_slice(self, global_width: int) -> slice:
+        """This process's contiguous rows of a padded global batch (mesh
+        device order is process-major, so P('data') shards are contiguous
+        per process)."""
+        per = global_width // self.process_count
+        return slice(self.process_index * per, (self.process_index + 1) * per)
 
     def text_batches(self):
         texts = self.dataset.texts
+        loc = self._local_slice(self.text_batch_size)
         for i in range(0, len(texts), self.text_batch_size):
             chunk = texts[i: i + self.text_batch_size]
             n = len(chunk)
-            chunk = list(chunk) + [""] * (self.text_batch_size - n)
+            chunk = (list(chunk) + [""] * (self.text_batch_size - n))[loc]
             ids, mask = self.tokenizer.encode(chunk, self.cfg.max_tokens)
             yield ids, mask, n
 
     def image_batches(self):
         n = len(self.dataset)
         cap_bpe = not hasattr(self.caption_tokenizer, "cls_id")
+        loc = self._local_slice(self.batch_size)
         with ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, n, self.batch_size):
                 stop = min(start + self.batch_size, n)
-                items = list(pool.map(self.dataset.get, range(start, stop)))
-                count = len(items)
-                while len(items) < self.batch_size:
-                    items.append(items[-1])
+                count = stop - start
+                rows = list(range(start, stop))
+                rows += [rows[-1]] * (self.batch_size - count)
+                items = list(pool.map(self.dataset.get, rows[loc]))
                 vision = [it[0] for it in items]
                 caps = [it[1] for it in items]
                 batch: Dict[str, np.ndarray] = {}

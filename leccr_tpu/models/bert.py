@@ -122,11 +122,11 @@ class BertEncoder(nn.Module):
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         if cfg.kind == "xlmr":
-            # RoBERTa/XLM-R position ids: padding_idx=1, real tokens get
-            # cumulative positions starting at 2 (HF
-            # create_position_ids_from_input_ids semantics)
+            # RoBERTa/XLM-R position ids: padding_idx = pad_token_id (1 for
+            # XLM-R), real tokens get cumulative positions starting past it
+            # (HF create_position_ids_from_input_ids semantics)
             mask = attention_mask.astype(jnp.int32)
-            positions = jnp.cumsum(mask, axis=1) * mask + 1
+            positions = jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id
         else:
             positions = jnp.arange(input_ids.shape[1])[None, :]
 

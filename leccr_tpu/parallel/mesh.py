@@ -97,7 +97,23 @@ def params_shardings(mesh: Mesh, params) -> Any:
         lambda kp, leaf: NamedSharding(mesh, specs[kp]), params)
 
 
+def host_local_to_global(x, sharding: NamedSharding):
+    """Place process-local host data as a global sharded array.
+
+    Single-process: plain device_put (the local batch IS the global batch).
+    Multi-process: `jax.make_array_from_process_local_data` — each process
+    contributes the rows covered by its addressable shards (the per-process
+    slice the loaders produce), which is the only sanctioned way to build a
+    jit input spanning non-addressable devices.  The reference instead keeps
+    per-rank tensors and lets DDP/NCCL reconcile; here the global array is
+    explicit and XLA partitions the program around it."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
     """Device-put a host batch sharded over the data axis."""
     sharding = NamedSharding(mesh, P("data"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: host_local_to_global(x, sharding), batch)

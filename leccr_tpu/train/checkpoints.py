@@ -44,9 +44,15 @@ class CheckpointManager:
             "opt_state": opt_state,
             "meta": {"step": step, "epoch": epoch},
         }
+        # orbax saves are collective: every process calls save() with the
+        # global arrays; the sidecar json files are written once
         self.manager.save(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state)))
+        import jax
+
+        if jax.process_index() != 0:
+            return
         if config_json:
             (self.dir / "config.json").write_text(config_json)
         if is_best:

@@ -41,7 +41,11 @@ from leccr_tpu.data.tokenizers import ClipBPETokenizer, WordPieceTokenizer
 from leccr_tpu.eval.retrieval import itm_metrics_from_ranks, retrieval_ranks
 from leccr_tpu.models.leccr import LECCRModel
 from leccr_tpu.models.losses import compute_losses
-from leccr_tpu.parallel.mesh import make_mesh, params_shardings
+from leccr_tpu.parallel.mesh import (
+    host_local_to_global,
+    make_mesh,
+    params_shardings,
+)
 from leccr_tpu.train.checkpoints import CheckpointManager
 from leccr_tpu.train.metrics import JSONLLogger, MetricLogger, SmoothedValue
 from leccr_tpu.train.optim import build_optimizer
@@ -250,7 +254,13 @@ class Trainer:
 
             itc_loss_fn = infonce_loss
 
-        def step_fn(params, opt_state, batch, rng):
+        seed = self.cfg.train.seed + 17
+
+        def step_fn(params, opt_state, batch, step_no):
+            # key derived in-graph from the step counter: no per-step host
+            # device_put of a PRNG key, and the step scalar is a plain
+            # numpy input every process agrees on (multi-host safe)
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_no)
             idx = batch.pop("idx")
             flip = batch.pop("flip", None)
 
@@ -316,8 +326,6 @@ class Trainer:
             logger.add_meter(key, SmoothedValue(1, "{value:.4f}"))
         header = f"Train Epoch: [{epoch}]"
         data_sharding = NamedSharding(self.mesh, P("data"))
-        rep = NamedSharding(self.mesh, P())
-        base_rng = jax.random.PRNGKey(self.cfg.train.seed + 17)
 
         # device-scalar losses are buffered and synced only at print
         # boundaries so host logging never stalls the device pipeline
@@ -341,18 +349,19 @@ class Trainer:
             self.train_loader.epoch(epoch), data_sharding, depth=2)
         for i, batch in enumerate(logger.log_every(
                 batches, log_every, header, total=self.steps_per_epoch)):
-            rng = jax.device_put(
-                jax.random.fold_in(base_rng, self.state.step), rep)
             params, opt_state, losses = self._train_step(
-                self.state.params, self.state.opt_state, batch, rng)
+                self.state.params, self.state.opt_state, batch,
+                np.int32(self.state.step))
             self.state = TrainState(params, opt_state, self.state.step + 1)
             pending.append((self.state.step, losses))
             if (i + 1) % log_every == 0:
                 drain()
             every = self.cfg.train.checkpoint_every_steps
-            if every > 0 and self.state.step % every == 0 and self.is_main:
+            if every > 0 and self.state.step % every == 0:
                 # preemption-safe mid-epoch snapshot (async; resume restarts
-                # from the owning epoch boundary)
+                # from the owning epoch boundary).  Called on ALL processes:
+                # orbax saves are collective over the global arrays (the
+                # primary host coordinates the writes).
                 self.ckpt.save(self.state.step, self.state.params,
                                self.state.opt_state, epoch=epoch - 1)
         drain()
@@ -372,17 +381,21 @@ class Trainer:
             batch_size=self.cfg.train.batch_size_test,
             text_batch_size=self.cfg.train.batch_size_test_text,
             caption_tokenizer=self.caption_tokenizer,
-            num_workers=self.cfg.data.num_workers)
+            num_workers=self.cfg.data.num_workers,
+            process_count=jax.process_count(),
+            process_index=self.process_index)
 
         # async dispatch: embeddings stay on device; the only host sync is
         # the final rank fetch (the reference round-trips the full N x N
         # matrix to host instead, image_…py:163).  Batches are sharded over
         # the mesh's data axis so eval scales across chips (the reference's
-        # eval all_reduce was a world_size-scaling no-op, SURVEY §2c).
+        # eval all_reduce was a world_size-scaling no-op, SURVEY §2c); each
+        # process decodes only its slice and contributes it to the global
+        # batch (host_local_to_global).
         data_sharding = NamedSharding(self.mesh, P("data"))
 
         def put(x):
-            return jax.device_put(np.asarray(x), data_sharding)
+            return host_local_to_global(x, data_sharding)
 
         text_embeds = []
         for ids, mask, n in loader.text_batches():
@@ -410,6 +423,14 @@ class Trainer:
             dataset.index.img2txt,
             slots=img_slots if fusion != "none" else None,
             fusion=fusion, alpha=alpha)
+        if jax.process_count() > 1:
+            # rank vectors may come back sharded; replicate so every
+            # process can fetch them (metrics must agree everywhere for
+            # the collective checkpoint-gating decision in fit())
+            from jax.experimental import multihost_utils
+
+            i2t, t2i = multihost_utils.global_array_to_host_local_array(
+                (i2t, t2i), self.mesh, (P(), P()))
         metrics = itm_metrics_from_ranks(i2t, t2i)
         if self.is_main:
             dt = str(datetime.timedelta(seconds=int(time.time() - t0)))
@@ -465,16 +486,19 @@ class Trainer:
             if evaluate_only:
                 break
 
+            # sumr_sum is computed from replicated rank vectors, so the
+            # gating decision agrees across processes and the (collective)
+            # orbax save is invoked everywhere
+            is_best = sumr_sum > best
+            if is_best or epoch >= max_epoch - 1:
+                self.ckpt.save(
+                    self.state.step, self.state.params,
+                    self.state.opt_state, epoch,
+                    config_json=cfg.to_json(),
+                    metrics={"sumr_sum": sumr_sum}, is_best=is_best)
+            if is_best:
+                best, best_epoch = sumr_sum, epoch
             if self.is_main:
-                is_best = sumr_sum > best
-                if is_best or epoch >= max_epoch - 1:
-                    self.ckpt.save(
-                        self.state.step, self.state.params,
-                        self.state.opt_state, epoch,
-                        config_json=cfg.to_json(),
-                        metrics={"sumr_sum": sumr_sum}, is_best=is_best)
-                if is_best:
-                    best, best_epoch = sumr_sum, epoch
                 print(f"best epoch is {best_epoch} and best sumr is {best:.2f}")
         self.ckpt.wait()
         if self.is_main:

@@ -334,3 +334,36 @@ def test_feats_caption_loader(tmp_path):
     assert batch["caption_mask"].shape == batch["caption_feats"].shape[:2]
     # masks mark true lengths
     assert (batch["caption_mask"].sum(1) >= 2).all()
+
+
+def test_eval_loader_process_sharding(tmp_path):
+    """Two simulated processes each materialize half of every global eval
+    batch; concatenating their slices reproduces the single-process batch
+    exactly (multi-host eval: decode cost scales 1/P)."""
+    from leccr_tpu.data.datasets import ImageEvalDataset
+    from leccr_tpu.data.pipeline import EvalLoader
+    from leccr_tpu.data.synthetic import make_image_dataset
+    from leccr_tpu.data.tokenizers import WordPieceTokenizer
+
+    cfg = make_image_dataset(str(tmp_path / "ds"), n_train=4, n_eval=5,
+                             caps_per_image=2, image_res=32)
+    ds = ImageEvalDataset(cfg, cfg.test_file["de"], image_res=32,
+                          split="test")
+    tok = WordPieceTokenizer(cfg.text_vocab)
+    full = EvalLoader(ds, tok, cfg, batch_size=4, text_batch_size=4)
+    parts = [EvalLoader(ds, tok, cfg, batch_size=4, text_batch_size=4,
+                        process_count=2, process_index=pi)
+             for pi in (0, 1)]
+
+    for (ids, mask, n), (i0, m0, n0), (i1, m1, n1) in zip(
+            full.text_batches(), *(p.text_batches() for p in parts)):
+        assert n == n0 == n1  # counts are global
+        np.testing.assert_array_equal(ids, np.concatenate([i0, i1]))
+        np.testing.assert_array_equal(mask, np.concatenate([m0, m1]))
+
+    for (b, c), (b0, c0), (b1, c1) in zip(
+            full.image_batches(), *(p.image_batches() for p in parts)):
+        assert c == c0 == c1
+        for k in b:
+            np.testing.assert_array_equal(
+                b[k], np.concatenate([b0[k], b1[k]]))
