@@ -226,7 +226,20 @@ def retrieval_ranks(
     i2t_ranks, t2i_ranks = _ranks_impl(
         img_embeds, txt_embeds, txt2img, img2txt, slots,
         jnp.int32(n_img), block=block, fusion=fusion, alpha=float(alpha))
-    return np.asarray(i2t_ranks[:n_img]), np.asarray(t2i_ranks)
+    return _fetch(i2t_ranks[:n_img]), _fetch(t2i_ranks)
+
+
+def _fetch(x: jax.Array) -> np.ndarray:
+    """Host fetch that works under multi-process: rank vectors computed from
+    sharded embeddings may come back sharded across non-addressable devices,
+    so replicate first (every process needs the full vectors — the metrics
+    gate the collective best-checkpoint save in the trainer)."""
+    if jax.process_count() > 1 and not x.is_fully_addressable:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(x.sharding.mesh, PartitionSpec())
+        x = jax.jit(lambda a: a, out_shardings=rep)(x)
+    return np.asarray(x)
 
 
 def itm_metrics_from_ranks(

@@ -423,14 +423,6 @@ class Trainer:
             dataset.index.img2txt,
             slots=img_slots if fusion != "none" else None,
             fusion=fusion, alpha=alpha)
-        if jax.process_count() > 1:
-            # rank vectors may come back sharded; replicate so every
-            # process can fetch them (metrics must agree everywhere for
-            # the collective checkpoint-gating decision in fit())
-            from jax.experimental import multihost_utils
-
-            i2t, t2i = multihost_utils.global_array_to_host_local_array(
-                (i2t, t2i), self.mesh, (P(), P()))
         metrics = itm_metrics_from_ranks(i2t, t2i)
         if self.is_main:
             dt = str(datetime.timedelta(seconds=int(time.time() - t0)))
