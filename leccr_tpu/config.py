@@ -192,8 +192,11 @@ class ParallelConfig:
     data: int = -1  # -1 = all devices
     model: int = 1
     # global-negatives strategy for the contrastive losses:
-    #  "gather": all_gather features (reference AllGather semantics)
-    #  "ring":   ppermute ring, never materializes the full logits
+    #  "gather":     all_gather features (reference AllGather semantics)
+    #  "ring":       ppermute ring, never materializes the full logits
+    #  "ring_fused": ring whose per-rotation blocks run through the fused
+    #                Pallas InfoNCE kernels (logits stay in VMEM)
+    #  "fused":      single-device fused blockwise InfoNCE
     negatives: str = "gather"
     # stream the dstl/caption-vision losses in row blocks of this many rows
     # (0 = dense; automatically 256 when negatives == "ring")

@@ -256,20 +256,21 @@ def _bwd_dk_kernel(invt_ref, q_ref, k_ref, idxq_ref, idxk_ref, lse_ref,
         dk_ref[:] = acc[:]
 
 
-def _bwd_pallas(q, k, idx, temp, lse, pc, coef,
-                block_q: int = 256, block_k: int = 512,
-                interpret: bool = False):
-    """(dq, dk, d_temp) via two Pallas passes; logits/probabilities exist
-    only as VMEM tiles (flash-style recompute)."""
+def _bwd_raw_pallas(q, k, idx_q, idx_k, inv_temp, lse, pc,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False):
+    """Unscaled (dq_raw, dk_raw) = (w @ k, w.T @ q) with
+    w = softmax - labels, via two Pallas passes; logits/probabilities exist
+    only as VMEM tiles (flash-style recompute).  Callers apply the cotangent
+    and 1/temp scaling (and derive d_temp from dq_raw·q)."""
     m, e = q.shape
     n = k.shape[0]
-    inv_temp = 1.0 / temp
     block_q = min(block_q, max(8, 1 << (m - 1).bit_length()), 256)
     block_k = min(block_k, max(128, 1 << (n - 1).bit_length()))
     qp = _pad_to(q, block_q, 0)
     kp = _pad_to(k, block_k, 0)
-    idx_qp = _pad_to(idx.astype(jnp.int32), block_q, 0, value=-2)[:, None]
-    idx_kp = _pad_to(idx.astype(jnp.int32), block_k, 0, value=-3)[:, None]
+    idx_qp = _pad_to(idx_q.astype(jnp.int32), block_q, 0, value=-2)[:, None]
+    idx_kp = _pad_to(idx_k.astype(jnp.int32), block_k, 0, value=-3)[:, None]
     # padded q rows: lse=+inf → p=0; pc=1 → pos/cnt=0 since idx -2 != -3
     lse_p = _pad_to(lse, block_q, 0, value=jnp.inf)[:, None]
     pc_p = _pad_to(pc, block_q, 0, value=1.0)[:, None]
@@ -332,14 +333,41 @@ def _bwd_pallas(q, k, idx, temp, lse, pc, coef,
         interpret=interpret,
     )(invt, qp, kp, idx_qp, idx_kp, lse_p, pc_p, nv_m)
 
+    return dq_pad[:m], dk_pad[:n]
+
+
+def _bwd_raw_xla(q, k_b, idx_q, idx_b, inv_temp, lse, pc):
+    """Dense single-block (dq_raw, dk_raw) — the non-TPU path for small
+    per-rotation blocks (ring fused mode on CPU tests)."""
+    logits = (q @ k_b.T) * inv_temp
+    p = jnp.exp(logits - lse[:, None])
+    pos = (idx_q[:, None] == idx_b[None, :]).astype(jnp.float32)
+    w = p - pos / jnp.maximum(pc, 1.0)[:, None]
+    return w @ k_b, w.T @ q
+
+
+def infonce_bwd_raw(q, k, idx_q, idx_k, inv_temp, lse, pc,
+                    impl: str = "auto", interpret: bool = False):
+    """Unscaled backward block: (w @ k, w.T @ q), w = softmax - labels."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return _bwd_raw_pallas(q, k, idx_q, idx_k, inv_temp, lse, pc,
+                               interpret=interpret)
+    return _bwd_raw_xla(q, k, idx_q, idx_k, inv_temp, lse, pc)
+
+
+def _bwd_pallas(q, k, idx, temp, lse, pc, coef, interpret: bool = False):
+    """(dq, dk, d_temp) for the full loss via the raw Pallas passes."""
+    inv_temp = 1.0 / temp
+    dq_raw, dk_raw = _bwd_raw_pallas(q, k, idx, idx, inv_temp, lse, pc,
+                                     interpret=interpret)
     scale = coef * inv_temp
-    dq = dq_pad[:m] * scale
-    dk = dk_pad[:n] * scale
     # dq_raw_i·q_i = Σ_j w_ij (q_i·k_j), so the temperature cotangent falls
     # out of dq without any extra kernel output:
     # d temp = -coef·Σ w·(q·k)·inv_temp²
-    d_temp = -coef * jnp.sum(dq_pad[:m] * q) * inv_temp * inv_temp
-    return dq, dk, d_temp
+    d_temp = -coef * jnp.sum(dq_raw * q) * inv_temp * inv_temp
+    return dq_raw * scale, dk_raw * scale, d_temp
 
 
 # --------------------------------------------------------------- the loss

@@ -243,12 +243,14 @@ class Trainer:
         if negatives == "ring" and stream_rows == 0:
             stream_rows = 256
         itc_loss_fn = None
-        if negatives == "ring" and num_blocks > 1:
+        if negatives in ("ring", "ring_fused") and num_blocks > 1:
             from leccr_tpu.parallel.ring import ring_infonce
 
             mesh = self.mesh
+            ring_impl = "fused" if negatives == "ring_fused" else "dense"
             itc_loss_fn = (
-                lambda a, b, t, i: ring_infonce(mesh, a, b, t, i))
+                lambda a, b, t, i: ring_infonce(mesh, a, b, t, i,
+                                                impl=ring_impl))
         elif negatives == "fused":
             from leccr_tpu.ops.infonce import infonce_loss
 

@@ -98,3 +98,31 @@ def test_param_partition_specs():
     params2 = {"c_fc": {"kernel": jnp.zeros((8, 33))}}
     sh2 = params_shardings(mesh, params2)
     assert sh2["c_fc"]["kernel"].spec == P()
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_ring_infonce_fused_matches_global(impl):
+    """Fused ring (per-rotation blocks through the InfoNCE kernels with a
+    hand-written ring VJP): values AND gradients — including d/d temp —
+    match the dense global loss.  impl='pallas' runs the kernels in
+    interpret mode on the CPU mesh."""
+    mesh = make_mesh(ParallelConfig(data=8, model=1))
+    a, b, idx = _feats()
+    temp = jnp.float32(0.07)
+    interpret = impl == "pallas"
+
+    want = soft_label_contrastive_loss(a, b, temp, idx)
+    got = ring_infonce(mesh, a, b, temp, idx, impl=impl,
+                       interpret=interpret)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    g_want = jax.grad(
+        lambda x, y, t: soft_label_contrastive_loss(x, y, t, idx),
+        argnums=(0, 1, 2))(a, b, temp)
+    g_got = jax.grad(
+        lambda x, y, t: ring_infonce(mesh, x, y, t, idx, impl=impl,
+                                     interpret=interpret),
+        argnums=(0, 1, 2))(a, b, temp)
+    for w, g in zip(g_want, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=2e-6)

@@ -252,3 +252,22 @@ def test_fused_negatives_trainer(tmp_path):
     tr = Trainer(cfg, devices=jax.devices()[:1])
     stats = tr.train_epoch(0)
     assert np.isfinite(float(stats["loss_itc_vs"]))
+
+
+def test_ring_fused_negatives_trainer(tmp_path):
+    """negatives: ring_fused — the Pallas-block ring InfoNCE (XLA block path
+    on CPU) drives the jitted train step over an 8-way data mesh."""
+    from leccr_tpu.train.trainer import Trainer
+
+    cfg = tiny_test_config()
+    cfg.output_dir = str(tmp_path)
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 16
+    cfg.data.synthetic_eval_images = 4
+    cfg.train.batch_size_train = 16
+    cfg.train.schedular.epochs = 1
+    cfg.parallel.data = 8
+    cfg.parallel.negatives = "ring_fused"
+    tr = Trainer(cfg)
+    stats = tr.train_epoch(0)
+    assert np.isfinite(float(stats["loss_itc_vs"]))
