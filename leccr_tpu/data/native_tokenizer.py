@@ -60,13 +60,19 @@ class NativeWordPieceTokenizer:
     Python WordPieceTokenizer.  Raises RuntimeError if the library can't be
     built — callers should catch and fall back."""
 
-    def __init__(self, vocab_file: str, lowercase: bool = False):
+    def __init__(self, vocab_file: str, lowercase: bool = False,
+                 strip_accents: bool | None = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native tokenizer library unavailable")
         self._lib = lib
-        self._handle = lib.wp_create(str(vocab_file).encode(),
-                                     1 if lowercase else 0)
+        # uncased mode: full-Unicode lowercase + NFD accent stripping happen
+        # in a Python pre-pass (normalize_uncased); the C++ matcher then
+        # runs cased.  HF semantics: strip_accents defaults to lowercase.
+        self.lowercase = lowercase
+        self.strip_accents = (lowercase if strip_accents is None
+                              else strip_accents)
+        self._handle = lib.wp_create(str(vocab_file).encode(), 0)
         if not self._handle:
             raise RuntimeError(f"failed to load vocab {vocab_file}")
 
@@ -77,6 +83,11 @@ class NativeWordPieceTokenizer:
 
     def encode(self, texts: Sequence[str], max_length: int,
                pad_to: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
+        if self.lowercase or self.strip_accents:
+            from leccr_tpu.data.tokenizers import normalize_uncased
+
+            texts = [normalize_uncased(t, self.lowercase,
+                                       self.strip_accents) for t in texts]
         width = pad_to or max_length
         n = len(texts)
         ids = np.zeros((n, width), np.int32)

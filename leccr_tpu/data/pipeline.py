@@ -127,10 +127,11 @@ class TrainLoader:
             )
             from leccr_tpu.data.tokenizers import WordPieceTokenizer
 
-            if (isinstance(self.tokenizer, WordPieceTokenizer)
-                    and not self.tokenizer.lowercase):
+            if isinstance(self.tokenizer, WordPieceTokenizer):
                 self._native = NativeWordPieceTokenizer(
-                    self.tokenizer.vocab_file, lowercase=False)
+                    self.tokenizer.vocab_file,
+                    lowercase=self.tokenizer.lowercase,
+                    strip_accents=self.tokenizer.strip_accents)
         except Exception:
             self._native = None
         self.text_tokens: List[List[List[int]]] = [

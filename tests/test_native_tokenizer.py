@@ -49,11 +49,20 @@ def test_native_matches_python(pair):
 
 
 def test_native_lowercase(vocab_file):
+    """Uncased mode (full-Unicode lowercase + NFD accent strip in the
+    Python pre-pass, cased C++ matching behind it) matches the pure-Python
+    uncased tokenizer, including non-ASCII case folding and accents."""
     if native.build_native() is None:
         pytest.skip("no C++ toolchain")
-    py = WordPieceTokenizer(vocab_file, lowercase=True, strip_accents=False)
+    py = WordPieceTokenizer(vocab_file, lowercase=True)
     nat = native.NativeWordPieceTokenizer(vocab_file, lowercase=True)
-    texts = ["A MAN Rides His RED bike", "Two DOGS"]
-    ids_p, _ = py.encode(texts, max_length=12)
-    ids_n, _ = nat.encode(texts, max_length=12)
+    texts = ["A MAN Rides His RED bike", "Two DOGS",
+             "a mán rídes hìs réd bïke", "ACROSS the GRÉÉN FIELD",
+             "ÀÁÂ ãäå çñö"]
+    ids_p, mask_p = py.encode(texts, max_length=12)
+    ids_n, mask_n = nat.encode(texts, max_length=12)
     np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
+    # the accented variant must normalize to the same ids as the plain one
+    plain, _ = nat.encode(["a man rides his red bike"], max_length=12)
+    np.testing.assert_array_equal(ids_n[2], plain[0])
