@@ -8,7 +8,8 @@ from leccr_tpu.config import LECCRConfig, load_config, tiny_test_config
 
 
 def test_production_configs_load():
-    for name in ("multi30k_fr", "coco_zh", "msrvtt", "scale_vitl_32k"):
+    for name in ("multi30k_fr", "coco_zh", "coco_ja", "msrvtt", "vatex",
+                 "multi30k_all", "multi30k_en_xlmr", "scale_vitl_32k"):
         cfg = load_config(f"configs/{name}.yaml")
         assert isinstance(cfg, LECCRConfig)
         assert cfg.model.embed_dim == 256
@@ -17,7 +18,7 @@ def test_production_configs_load():
     assert video.model.vision.kind == "temporal"
     assert video.model.num_queries == 2  # reference msrvtt config
     scale = load_config("configs/scale_vitl_32k.yaml")
-    assert scale.parallel.negatives == "ring"
+    assert scale.parallel.negatives == "ring_fused"
     assert scale.train.batch_size_train == 32768
 
 
