@@ -178,9 +178,19 @@ def load_reference_checkpoint_into(
 
 def load_initial_checkpoint(path: str, params: Any,
                             cfg: LECCRConfig) -> Any:
-    """Dispatch on the checkpoint flavor; returns a new params pytree."""
+    """Dispatch on the checkpoint flavor; returns a new params pytree.
+    hdfs:// paths are staged to a local temp file first (reference
+    utils/torch_io.py:15-31 semantics)."""
     import jax
 
+    if path.startswith("hdfs://"):
+        import tempfile
+
+        from leccr_tpu.utils import io as lio
+
+        local = Path(tempfile.mkdtemp(prefix="leccr_ckpt_")) / Path(path).name
+        lio.copy(path, str(local))
+        path = str(local)
     p = Path(path)
     if p.is_dir() and (p / "_CHECKPOINT_METADATA").exists():
         import orbax.checkpoint as ocp
