@@ -356,7 +356,9 @@ class Trainer:
                 np.int32(self.state.step))
             self.state = TrainState(params, opt_state, self.state.step + 1)
             pending.append((self.state.step, losses))
-            if (i + 1) % log_every == 0:
+            if i % log_every == 0:
+                # drain in the same phase as the logger's post-yield print
+                # so the printed meters reflect this step's losses
                 drain()
             every = self.cfg.train.checkpoint_every_steps
             if every > 0 and self.state.step % every == 0:
