@@ -271,3 +271,43 @@ def test_ring_fused_negatives_trainer(tmp_path):
     tr = Trainer(cfg)
     stats = tr.train_epoch(0)
     assert np.isfinite(float(stats["loss_itc_vs"]))
+
+
+def test_resume_continues_training(tmp_path):
+    """Preemption recovery: train 2 epochs (with mid-epoch step snapshots),
+    then construct a fresh Trainer with resume=True and a longer schedule —
+    it must restore the newest checkpoint, continue from the next epoch with
+    a monotonically advancing step counter, and keep the best-sumR record."""
+    from leccr_tpu.train.trainer import Trainer
+
+    def make_cfg(epochs):
+        cfg = tiny_test_config()
+        cfg.output_dir = str(tmp_path)
+        cfg.data.dataset = "synthetic"
+        cfg.data.synthetic_size = 16
+        cfg.data.synthetic_eval_images = 4
+        cfg.train.batch_size_train = 8
+        cfg.train.batch_size_test = 4
+        cfg.train.batch_size_test_text = 8
+        cfg.train.schedular.epochs = epochs
+        cfg.train.checkpoint_every_steps = 3  # mid-epoch snapshots
+        cfg.parallel.data = 1
+        return cfg
+
+    tr1 = Trainer(make_cfg(2), devices=jax.devices()[:1])
+    tr1.fit()
+    steps_done = tr1.state.step
+    per_epoch = tr1.steps_per_epoch
+    assert steps_done == 2 * per_epoch
+    best1 = tr1.ckpt.best_info()
+    assert best1 is not None
+
+    cfg2 = make_cfg(3)
+    cfg2.train.resume = True
+    tr2 = Trainer(cfg2, devices=jax.devices()[:1])
+    tr2.fit()
+    # one extra epoch ran on top of the restored state
+    assert tr2.state.step == steps_done + per_epoch
+    # log.txt accumulated records from both runs
+    log = (tmp_path / "log.txt").read_text().strip().splitlines()
+    assert len(log) >= 3
