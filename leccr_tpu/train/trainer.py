@@ -407,9 +407,28 @@ class Trainer:
             text_embeds.append(out[:n])
         text_embeds = jnp.concatenate(text_embeds, axis=0)
 
+        # decode + upload of the next image batches run on a background
+        # thread while the current embed computes (decode is the host-side
+        # cost; uploads are async and queue on the transfer engine)
+        def staged_image_batches():
+            import queue as _q
+            import threading as _t
+
+            q: "_q.Queue" = _q.Queue(maxsize=2)
+
+            def produce():
+                try:
+                    for batch, count in loader.image_batches():
+                        q.put(({k: put(v) for k, v in batch.items()}, count))
+                finally:
+                    q.put(None)
+
+            _t.Thread(target=produce, daemon=True).start()
+            while (item := q.get()) is not None:
+                yield item
+
         img_feats, img_slots = [], []
-        for batch, count in loader.image_batches():
-            batch = {k: put(v) for k, v in batch.items()}
+        for batch, count in staged_image_batches():
             if not self.is_video:
                 batch["vision"] = normalize_images(batch["vision"])
             out = self._embed_images(self.state.params, batch)
