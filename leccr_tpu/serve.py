@@ -114,8 +114,8 @@ class Embedder:
             chunk += [""] * (bs - n)
             ids, mask = self.tokenizer.encode(chunk, self.cfg.data.max_tokens)
             emb = self._embed_texts(self.params, ids, mask)
-            out.append(np.asarray(emb[:n]))
-        return np.concatenate(out, axis=0)
+            out.append(emb[:n])  # async; one host sync at the end
+        return np.asarray(jnp.concatenate(out, axis=0))
 
     # ------------------------------------------------------------ images
 
@@ -140,6 +140,8 @@ class Embedder:
         n = len(images)
         feats, slots = [], []
         bs = self.batch_size
+        # all dispatches stay async: embeddings accumulate on device and
+        # concatenate there; no per-batch host round trip
         for i in range(0, n, bs):
             chunk = images[i: i + bs]
             if isinstance(chunk[0], str):
@@ -155,11 +157,11 @@ class Embedder:
             batch = self._caption_batch(caps)
             batch["vision"] = normalize_images(jnp.asarray(arr))
             out = self._embed_images(self.params, batch)
-            feats.append(np.asarray(out["feat"][:count]))
-            slots.append(np.asarray(out["slots"][:count]))
+            feats.append(out["feat"][:count])
+            slots.append(out["slots"][:count])
         return ImageIndex(
-            feats=jnp.asarray(np.concatenate(feats)),
-            slots=jnp.asarray(np.concatenate(slots)),
+            feats=jnp.concatenate(feats),
+            slots=jnp.concatenate(slots),
             ids=list(ids) if ids else [str(i) for i in range(n)])
 
     # ------------------------------------------------------------ search

@@ -81,6 +81,13 @@ def main():
 
     jstep = jax.jit(step, donate_argnums=(0, 1))
     rng = jax.random.PRNGKey(0)
+    # XLA's own FLOP count for the step -> measured MFU below
+    try:
+        cost = jstep.lower(params, opt_state, dict(batch),
+                           rng).compile().cost_analysis()
+        step_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
     t0 = time.time()
     params, opt_state, losses = jstep(params, opt_state, dict(batch), rng)
     # value fetch = real barrier (block_until_ready is lazy over the
@@ -110,6 +117,12 @@ def main():
     dt = (time.time() - t0) / n
     print(f"step (device-resident batch): {dt*1000:.1f} ms  -> "
           f"{BS/dt:.1f} pairs/s/chip")
+    if step_flops:
+        achieved = step_flops / dt
+        peak = 197e12  # TPU v5e bf16 peak
+        print(f"XLA-counted step FLOPs: {step_flops/1e12:.2f} TF  -> "
+              f"{achieved/1e12:.1f} TF/s achieved, "
+              f"MFU {100*achieved/peak:.1f}% of v5e bf16 peak")
     print({k: float(v) for k, v in losses.items() if k.startswith('loss')})
 
 
