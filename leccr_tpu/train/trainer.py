@@ -181,6 +181,14 @@ class Trainer:
         self._embed_texts = jax.jit(
             lambda p, i, m: self.model.apply({"params": p}, i, m,
                                              method="embed_texts"))
+        # all eval text batches in ONE dispatch (lax.map over the stacked
+        # [nb, B, T] batches): per-dispatch latency is paid once per split
+        # instead of once per batch
+        self._embed_texts_stacked = jax.jit(
+            lambda p, ids, msk: jax.lax.map(
+                lambda x: self.model.apply({"params": p}, x[0], x[1],
+                                           method="embed_texts"),
+                (ids, msk)))
 
     # ------------------------------------------------------------- init
 
@@ -401,11 +409,20 @@ class Trainer:
         def put(x):
             return host_local_to_global(x, data_sharding)
 
-        text_embeds = []
-        for ids, mask, n in loader.text_batches():
-            out = self._embed_texts(self.state.params, put(ids), put(mask))
-            text_embeds.append(out[:n])
-        text_embeds = jnp.concatenate(text_embeds, axis=0)
+        # texts are pre-tokenized and cheap to stage: stack every batch and
+        # embed the split in a single dispatch.  Valid rows are the first
+        # `n` of each batch and only the last batch is padded, so slicing
+        # the flattened output to the total count drops exactly the pads.
+        tb = list(loader.text_batches())
+        ids = np.stack([t[0] for t in tb])
+        mask = np.stack([t[1] for t in tb])
+        n_txt_total = sum(t[2] for t in tb)
+        stacked_sharding = NamedSharding(self.mesh, P(None, "data"))
+        out = self._embed_texts_stacked(
+            self.state.params,
+            host_local_to_global(ids, stacked_sharding),
+            host_local_to_global(mask, stacked_sharding))
+        text_embeds = out.reshape(-1, out.shape[-1])[:n_txt_total]
 
         # decode + upload of the next image batches run on a background
         # thread while the current embed computes (decode is the host-side
