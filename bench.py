@@ -140,7 +140,7 @@ def jax_eval_time(quick: bool = False) -> float:
     # are queued up front (device_put is async) and overlap with the
     # compute dispatched per already-arrived chunk — wall time approaches
     # max(total transfer, compute) instead of their sum
-    n_chunks = math.gcd(ni, 5) if ni >= 5 else 1
+    n_chunks = math.gcd(ni, 10) if ni >= 10 else max(1, math.gcd(ni, 5))
     per = ni // n_chunks
     img_chunks = img_stack.reshape(n_chunks, per, *img_stack.shape[1:])
     capi_chunks = capi_stack.reshape(n_chunks, per, *capi_stack.shape[1:])
