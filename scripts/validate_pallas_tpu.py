@@ -125,3 +125,46 @@ def backward_check():
 
 if __name__ == "__main__" and "--bwd" in sys.argv:
     backward_check()
+
+
+def ring_fused_check():
+    """ring_fused on a 1-device mesh: the ppermute ring degenerates but the
+    Pallas stats/backward kernels run on hardware through the hand-written
+    ring VJP — loss and (dq, dk, d_temp) must match the dense loss."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from leccr_tpu.parallel.ring import ring_infonce
+
+    rs = np.random.RandomState(3)
+    m, e = 1024, 256
+    q = jnp.asarray(rs.randn(m, e).astype(np.float32))
+    k = jnp.asarray(rs.randn(m, e).astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, m // 2, m).astype(np.int32))
+    temp = jnp.float32(0.07)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    want = soft_label_contrastive_loss(q, k, temp, idx)
+    got = ring_infonce(mesh, q, k, temp, idx, impl="fused")
+    print("ring_fused loss:", float(got), "dense:", float(want))
+    assert abs(float(got) - float(want)) < 1e-4 * abs(float(want))
+
+    gw = jax.grad(lambda a, b, t: soft_label_contrastive_loss(a, b, t, idx),
+                  argnums=(0, 1, 2))(q, k, temp)
+    gg = jax.grad(lambda a, b, t: ring_infonce(mesh, a, b, t, idx,
+                                               impl="fused"),
+                  argnums=(0, 1, 2))(q, k, temp)
+    diffs = []
+    for name, w, g in zip(("dq", "dk", "dtemp"), gw, gg):
+        diff = float(jnp.max(jnp.abs(jnp.asarray(g) - jnp.asarray(w))))
+        scale = max(1.0, float(jnp.max(jnp.abs(jnp.asarray(w)))))
+        print(f"ring_fused {name} maxdiff: {diff:.3e} (scale {scale:.3e})",
+              flush=True)
+        diffs.append((name, diff, scale))
+    for name, diff, scale in diffs:
+        assert diff < 5e-4 * scale, (name, diff, scale)  # MXU f32 rounding
+    print("ring_fused OK")
+
+
+if __name__ == "__main__" and "--ring" in sys.argv:
+    ring_fused_check()
