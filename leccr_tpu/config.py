@@ -170,7 +170,13 @@ class OptimConfig:
 
     lr: float = 1e-5
     weight_decay: float = 0.01
-    lr_mult: float = 2.0  # multiplier for from-scratch ("init") params
+    lr_mult: float = 2.0  # multiplier for params matching lr_mult_paths
+    # regexes over param paths that get lr x lr_mult.  Default empty = the
+    # live reference behavior (its init_params list is reset to [] after
+    # construction, model_retrieval_caption.py:14, so the mult group is
+    # empty in practice); set e.g. ["caption_query_attn", "queries"] to
+    # give the from-scratch head a higher LR like the reference intended.
+    lr_mult_paths: List[str] = field(default_factory=list)
     betas: List[float] = field(default_factory=lambda: [0.9, 0.98])
     eps: float = 1e-8
 

@@ -27,6 +27,15 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep, create=True, enable_async_checkpointing=True),
         )
+        # best-metric saves live in their own manager so the rotation of
+        # periodic/preemption snapshots can never evict them (the reference
+        # keeps checkpoint_best.pth permanently, image_…py:478-499)
+        self.best_dir = self.dir / "best"
+        self.best_manager = ocp.CheckpointManager(
+            str(self.best_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True, enable_async_checkpointing=True),
+        )
         self.best_path = self.dir / "best.json"
 
     def save(
@@ -49,6 +58,10 @@ class CheckpointManager:
         self.manager.save(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state)))
+        if is_best:
+            self.best_manager.save(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state)))
         import jax
 
         if jax.process_index() != 0:
@@ -61,6 +74,7 @@ class CheckpointManager:
 
     def wait(self) -> None:
         self.manager.wait_until_finished()
+        self.best_manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -73,6 +87,18 @@ class CheckpointManager:
         step = step if step is not None else self.manager.latest_step()
         assert step is not None, "no checkpoint to restore"
         restored = self.manager.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state)))
+        state = restored["state"]
+        return state["params"], state["opt_state"], state["meta"]
+
+    def restore_best(
+        self, abstract_state: Any
+    ) -> Tuple[Any, Any, Dict[str, int]]:
+        """Restore the best-metric checkpoint (never evicted by rotation)."""
+        step = self.best_manager.latest_step()
+        assert step is not None, "no best checkpoint saved"
+        restored = self.best_manager.restore(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(abstract_state)))
         state = restored["state"]

@@ -226,6 +226,7 @@ class Trainer:
             batch)["params"]
         self.tx = build_optimizer(
             self.cfg.train.optimizer, params, self.schedule,
+            lr_mult_paths=tuple(self.cfg.train.optimizer.lr_mult_paths),
             frozen_paths=("clip_text_tower",),
             grad_clip=self.cfg.train.grad_clip)
         shardings = params_shardings(self.mesh, params)
@@ -369,7 +370,10 @@ class Trainer:
                 # so the printed meters reflect this step's losses
                 drain()
             every = self.cfg.train.checkpoint_every_steps
-            if every > 0 and self.state.step % every == 0:
+            if (every > 0 and self.state.step % every == 0
+                    and i + 1 < self.steps_per_epoch):
+                # (the epoch's final step is excluded: fit()'s end-of-epoch
+                # save owns that step number and carries the right epoch)
                 # preemption-safe mid-epoch snapshot (async; resume restarts
                 # from the owning epoch boundary).  Called on ALL processes:
                 # orbax saves are collective over the global arrays (the
@@ -482,8 +486,14 @@ class Trainer:
                 "meta": {"step": 0, "epoch": 0},
             }
             params, opt_state, meta = self.ckpt.restore(abstract)
-            self.state = TrainState(params, opt_state, int(meta["step"]))
             start_epoch = int(meta["epoch"]) + 1
+            # mid-epoch snapshots carry a mid-epoch step counter while the
+            # owning epoch replays from its start — pin step to the epoch
+            # boundary so the LR schedule and the epoch counter stay in
+            # phase (no-op for end-of-epoch checkpoints, whose step already
+            # equals start_epoch * steps_per_epoch)
+            self.state = TrainState(
+                params, opt_state, start_epoch * self.steps_per_epoch)
             info = self.ckpt.best_info()
             if info:
                 best = info.get("metrics", {}).get("sumr_sum", 0.0)
@@ -522,7 +532,9 @@ class Trainer:
             # gating decision agrees across processes and the (collective)
             # orbax save is invoked everywhere
             is_best = sumr_sum > best
-            if is_best or epoch >= max_epoch - 1:
+            every_ep = cfg.train.checkpoint_every_epochs
+            periodic = every_ep > 0 and (epoch + 1) % every_ep == 0
+            if is_best or periodic or epoch >= max_epoch - 1:
                 self.ckpt.save(
                     self.state.step, self.state.params,
                     self.state.opt_state, epoch,

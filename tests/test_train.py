@@ -311,3 +311,49 @@ def test_resume_continues_training(tmp_path):
     # log.txt accumulated records from both runs
     log = (tmp_path / "log.txt").read_text().strip().splitlines()
     assert len(log) >= 3
+
+
+def test_lr_mult_scales_updates():
+    """A configured lr_mult path really gets lr x mult (VERDICT r1 #6):
+    with identical grads and fresh Adam moments, the update magnitude of a
+    matched param must be lr_mult x that of an unmatched one."""
+    from leccr_tpu.config import OptimConfig
+    from leccr_tpu.train.optim import build_optimizer
+
+    cfg = OptimConfig(lr=1e-3, weight_decay=0.0, lr_mult=3.0,
+                      lr_mult_paths=["head"])
+    params = {"head": {"kernel": jnp.ones((4,))},
+              "body": {"kernel": jnp.ones((4,))}}
+    tx = build_optimizer(cfg, params, schedule=lambda s: cfg.lr,
+                         lr_mult_paths=tuple(cfg.lr_mult_paths))
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    ratio = float(updates["head"]["kernel"][0]
+                  / updates["body"]["kernel"][0])
+    np.testing.assert_allclose(ratio, 3.0, rtol=1e-5)
+
+
+def test_best_checkpoint_survives_rotation(tmp_path):
+    """ADVICE r1: periodic snapshots must never evict the best checkpoint.
+    Save a best at step 1, then 3 periodic saves with keep=2 — the best
+    state must still restore bit-exact."""
+    from leccr_tpu.train.checkpoints import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path), keep=2)
+    best_params = {"w": jnp.full((3,), 7.0)}
+    opt = {"m": jnp.zeros((3,))}
+    ckpt.save(1, best_params, opt, epoch=0, metrics={"sumr_sum": 9.0},
+              is_best=True)
+    for step in (2, 3, 4):
+        ckpt.save(step, {"w": jnp.full((3,), float(step))}, opt, epoch=0)
+    ckpt.wait()
+    # rotation kept only the 2 newest periodic steps
+    assert ckpt.latest_step() == 4
+    abstract = {"params": best_params, "opt_state": opt,
+                "meta": {"step": 0, "epoch": 0}}
+    params, _, meta = ckpt.restore_best(abstract)
+    np.testing.assert_array_equal(np.asarray(params["w"]),
+                                  np.full((3,), 7.0))
+    assert meta["step"] == 1
+    info = ckpt.best_info()
+    assert info["step"] == 1 and info["metrics"]["sumr_sum"] == 9.0
