@@ -205,13 +205,16 @@ def _bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-_CLIP_PAT = re.compile(
+# the canonical CLIP word-split pattern (reference
+# clip/simple_tokenizer.py:78) needs real Unicode categories: \p{L} must
+# NOT swallow CJK punctuation/symbols or non-ASCII digits.  The `regex`
+# module (a transformers dependency, always present) provides them.
+import regex as _regex  # noqa: E402
+
+_CLIP_PAT = _regex.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False else
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[A-Za-zÀ-￿]+|[0-9]|[^\sA-Za-z0-9À-￿]+",
-    re.IGNORECASE,
+    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+    _regex.IGNORECASE,
 )
 
 

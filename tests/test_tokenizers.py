@@ -2,6 +2,7 @@
 files (no network — SURVEY.md §7 'tokenization parity')."""
 
 import gzip
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -88,10 +89,54 @@ def test_clip_bpe_matches_hf(clip_files):
     merges_gz, vocab_json, merges_plain = clip_files
     mine = ClipBPETokenizer(merges_gz)
     hf = CLIPTokenizer(vocab_json, merges_plain)
-    for s in ["the dog runs over there", "a over dog the", "hello, world!"]:
+    # HF is a valid oracle for non-CJK text only: without ftfy installed it
+    # substitutes a BasicTokenizer that splits every CJK char into its own
+    # word — a deliberate HF divergence from the OpenAI tokenizer the
+    # reference vendors.  CJK parity is pinned against the reference
+    # implementation itself in test_clip_bpe_matches_reference_tokenizer.
+    for s in ["the dog runs over there", "a over dog the", "hello, world!",
+              "pes běží přes ulici",             # cs diacritics
+              "der Hund läuft über die Straße",  # de
+              "café — «quotes» … ¿3½?",          # symbols, non-ASCII digits
+              "मिश्रित scripts مع عربي"]:        # Devanagari + Arabic mix
         got = mine.tokenize(s)
         want = hf(s)["input_ids"][1:-1]  # strip sot/eot
         assert got == want, (s, got, want)
+
+
+@pytest.mark.skipif(not Path("/root/reference/LECCR/clip").exists(),
+                    reason="reference checkout not available")
+def test_clip_bpe_matches_reference_tokenizer(clip_files):
+    """Pin the full Unicode split behavior against the REFERENCE tokenizer
+    (clip/simple_tokenizer.py) run in-process with ftfy stubbed to identity
+    (its only role is mojibake repair; clean text passes through).  This is
+    the ground truth for the zh/ja caption configs (VERDICT r1 #5)."""
+    import importlib.util
+    import sys
+    import types
+
+    if "ftfy" not in sys.modules:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda s: s
+        sys.modules["ftfy"] = stub
+    spec = importlib.util.spec_from_file_location(
+        "ref_simple_tokenizer",
+        "/root/reference/LECCR/clip/simple_tokenizer.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ref = mod.SimpleTokenizer(clip_files[0])
+
+    mine = ClipBPETokenizer(clip_files[0])
+    for s in ["the dog runs over there", "hello, world!",
+              "一只狗在跑。这里！",              # zh + CJK punctuation
+              "犬が走っています（速い）１２３",  # ja + fullwidth digits
+              "１２３ ４５",                     # fullwidth digits alone
+              "pes běží přes ulici",
+              "der Hund läuft über die Straße",
+              "café — «quotes» … ¿3½?",
+              "मिश्रित scripts مع عربي",
+              "ＡＢＣ ﬁﬂ ŉ"]:                   # fullwidth Latin, ligatures
+        assert mine.tokenize(s) == ref.encode(s), s
 
 
 def test_clip_encode_layout(clip_files):
