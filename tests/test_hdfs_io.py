@@ -1,0 +1,178 @@
+"""HDFS branch of leccr_tpu.utils.io, exercised against a fake `hdfs`
+executable on PATH (VERDICT r1 #7).  The shim implements the `hdfs dfs`
+subcommands the module shells out to (reference utils/hdfs_io.py:23-128)
+over a local directory standing in for the cluster, and records every argv
+so the tests can assert the exact CLI contract."""
+
+import json
+import os
+import stat
+import subprocess
+import sys
+
+import pytest
+
+from leccr_tpu.utils import io as uio
+
+_SHIM = r'''#!/usr/bin/env python3
+import json, os, shutil, sys
+
+root = os.environ["FAKE_HDFS_ROOT"]
+with open(os.path.join(root, "_argv.log"), "a") as f:
+    f.write(json.dumps(sys.argv[1:]) + "\n")
+
+
+def to_local(p):
+    if p.startswith("hdfs://"):
+        # strip scheme + authority: hdfs://host/a/b -> <root>/a/b
+        rest = p[len("hdfs://"):]
+        rest = rest.split("/", 1)[1] if "/" in rest else ""
+        return os.path.join(root, rest)
+    return p
+
+
+assert sys.argv[1] == "dfs", sys.argv
+args = sys.argv[2:]
+op = args[0]
+if op == "-test":
+    assert args[1] == "-e"
+    sys.exit(0 if os.path.exists(to_local(args[2])) else 1)
+elif op == "-mkdir":
+    assert args[1] == "-p"
+    os.makedirs(to_local(args[2]), exist_ok=True)
+elif op == "-ls":
+    base = args[1]
+    local = to_local(base)
+    print(f"Found {len(os.listdir(local))} items")
+    for name in sorted(os.listdir(local)):
+        st = os.stat(os.path.join(local, name))
+        print(f"-rw-r--r--   1 u g {st.st_size} 2026-01-01 00:00 "
+              f"{base.rstrip('/')}/{name}")
+elif op == "-get":
+    shutil.copy2(to_local(args[1]), args[2])
+elif op == "-put":
+    force = args[1] == "-f"
+    rest = args[2:] if force else args[1:]
+    src, dst = rest
+    dl = to_local(dst)
+    if os.path.exists(dl) and not force:
+        sys.exit(1)
+    os.makedirs(os.path.dirname(dl) or ".", exist_ok=True)
+    if src == "-":
+        with open(dl, "wb") as f:
+            f.write(sys.stdin.buffer.read())
+    elif os.path.isdir(src):
+        shutil.copytree(src, os.path.join(dl, os.path.basename(src))
+                        if os.path.isdir(dl) else dl, dirs_exist_ok=True)
+    else:
+        shutil.copy2(src, dl)
+elif op == "-appendToFile":
+    src, dst = args[1], args[2]
+    assert src == "-"
+    with open(to_local(dst), "ab") as f:
+        f.write(sys.stdin.buffer.read())
+elif op == "-text":
+    with open(to_local(args[1]), "rb") as f:
+        sys.stdout.buffer.write(f.read())
+elif op == "-cp":
+    s, d = to_local(args[1]), to_local(args[2])
+    os.makedirs(os.path.dirname(d) or ".", exist_ok=True)
+    shutil.copy2(s, d)
+else:
+    sys.exit(f"fake hdfs: unknown op {op}")
+'''
+
+
+@pytest.fixture()
+def hdfs(tmp_path, monkeypatch):
+    """Install the fake `hdfs` on PATH; returns the fake cluster root."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    shim = bindir / "hdfs"
+    shim.write_text(_SHIM)
+    shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    root = tmp_path / "cluster"
+    root.mkdir()
+    (root / "_argv.log").write_text("")
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    monkeypatch.setenv("FAKE_HDFS_ROOT", str(root))
+    return root
+
+
+def _argv_log(root):
+    return [json.loads(line)
+            for line in (root / "_argv.log").read_text().splitlines()]
+
+
+def test_exists_makedirs_listdir(hdfs):
+    assert not uio.exists("hdfs://nn/data")
+    uio.makedirs("hdfs://nn/data")
+    assert uio.exists("hdfs://nn/data")
+    (hdfs / "data" / "x.txt").write_text("x")
+    (hdfs / "data" / "y.txt").write_text("y")
+    names = uio.listdir("hdfs://nn/data")
+    assert names == ["hdfs://nn/data/x.txt", "hdfs://nn/data/y.txt"]
+    ops = [a[1] for a in _argv_log(hdfs)]
+    assert ops == ["-test", "-mkdir", "-test", "-ls"]
+
+
+def test_open_file_write_read_append_text(hdfs):
+    with uio.open_file("hdfs://nn/log.txt", "w") as f:
+        f.write("hello\n")
+        f.write("world\n")
+    with uio.open_file("hdfs://nn/log.txt", "a") as f:
+        f.write("more\n")
+    with uio.open_file("hdfs://nn/log.txt", "r") as f:
+        assert list(f) == ["hello\n", "world\n", "more\n"]
+    assert (hdfs / "log.txt").read_text() == "hello\nworld\nmore\n"
+    # -put -f for w, -appendToFile for a, -text for r (reference CLI verbs)
+    ops = [a[1] for a in _argv_log(hdfs)]
+    assert ops == ["-put", "-appendToFile", "-text"]
+
+
+def test_open_file_binary_roundtrip(hdfs):
+    payload = bytes(range(256)) * 3
+    with uio.open_file("hdfs://nn/blob.bin", "wb") as f:
+        f.write(payload)
+    with uio.open_file("hdfs://nn/blob.bin", "rb") as f:
+        assert f.read() == payload
+
+
+def test_copy_all_four_directions(hdfs, tmp_path):
+    local_src = tmp_path / "a.txt"
+    local_src.write_text("A")
+    # local -> hdfs
+    uio.copy(str(local_src), "hdfs://nn/a.txt")
+    assert (hdfs / "a.txt").read_text() == "A"
+    # hdfs -> hdfs
+    uio.copy("hdfs://nn/a.txt", "hdfs://nn/b.txt")
+    assert (hdfs / "b.txt").read_text() == "A"
+    # hdfs -> local
+    local_dst = tmp_path / "back.txt"
+    uio.copy("hdfs://nn/b.txt", str(local_dst))
+    assert local_dst.read_text() == "A"
+    # local -> local (no hdfs involvement)
+    before = len(_argv_log(hdfs))
+    uio.copy(str(local_src), str(tmp_path / "c.txt"))
+    assert (tmp_path / "c.txt").read_text() == "A"
+    assert len(_argv_log(hdfs)) == before  # pure-local path never shells out
+
+
+def test_sync_dir_to_remote(hdfs, tmp_path):
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "10").mkdir(parents=True)
+    (ckpt / "10" / "state.bin").write_bytes(b"\x01\x02")
+    (ckpt / "best.json").write_text("{}")
+    uio.sync_dir_to_remote(str(ckpt), "hdfs://nn/runs/exp1")
+    assert (hdfs / "runs" / "exp1" / "ckpt" / "10"
+            / "state.bin").read_bytes() == b"\x01\x02"
+    assert (hdfs / "runs" / "exp1" / "ckpt" / "best.json").exists()
+
+
+def test_shim_is_actually_invoked(hdfs):
+    """Guard against the fixture silently not being used: a raw subprocess
+    call must reach the shim."""
+    rc = subprocess.run(["hdfs", "dfs", "-test", "-e", "hdfs://nn/none"],
+                        capture_output=True)
+    assert rc.returncode == 1
+    assert _argv_log(hdfs)[-1] == ["dfs", "-test", "-e", "hdfs://nn/none"]
