@@ -66,13 +66,15 @@ class NativeWordPieceTokenizer:
         if lib is None:
             raise RuntimeError("native tokenizer library unavailable")
         self._lib = lib
-        # uncased mode: full-Unicode lowercase + NFD accent stripping happen
-        # in a Python pre-pass (normalize_uncased); the C++ matcher then
-        # runs cased.  HF semantics: strip_accents defaults to lowercase.
+        # uncased mode runs fully native: the C++ library does full-Unicode
+        # lowercase (incl. Final_Sigma / U+0130) and NFD accent stripping
+        # from generated tables.  HF semantics: strip_accents defaults to
+        # the lowercase setting.
         self.lowercase = lowercase
         self.strip_accents = (lowercase if strip_accents is None
                               else strip_accents)
-        self._handle = lib.wp_create(str(vocab_file).encode(), 0)
+        flags = (1 if self.lowercase else 0) | (2 if self.strip_accents else 0)
+        self._handle = lib.wp_create(str(vocab_file).encode(), flags)
         if not self._handle:
             raise RuntimeError(f"failed to load vocab {vocab_file}")
 
@@ -83,11 +85,6 @@ class NativeWordPieceTokenizer:
 
     def encode(self, texts: Sequence[str], max_length: int,
                pad_to: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
-        if self.lowercase or self.strip_accents:
-            from leccr_tpu.data.tokenizers import normalize_uncased
-
-            texts = [normalize_uncased(t, self.lowercase,
-                                       self.strip_accents) for t in texts]
         width = pad_to or max_length
         n = len(texts)
         ids = np.zeros((n, width), np.int32)

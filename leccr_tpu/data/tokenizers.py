@@ -25,21 +25,6 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 import numpy as np
 
 
-def normalize_uncased(text: str, lowercase: bool = True,
-                      strip_accents: bool = True) -> str:
-    """The uncased-BERT text normalization (full-Unicode lowercase + NFD
-    accent stripping) as a standalone string transform, so the native C++
-    WordPiece matcher — which only handles the cased path — can run behind
-    it.  Character-local, so applying it to the whole text before
-    whitespace/punct splitting equals the per-token HF semantics."""
-    if lowercase:
-        text = text.lower()
-    if strip_accents:
-        text = "".join(c for c in unicodedata.normalize("NFD", text)
-                       if unicodedata.category(c) != "Mn")
-    return text
-
-
 # --------------------------------------------------------------------------
 # BERT WordPiece
 # --------------------------------------------------------------------------
@@ -118,7 +103,10 @@ class WordPieceTokenizer:
         tokens = []
         for tok in text.strip().split():
             if self.lowercase:
-                tok = tok.lower()
+                # per-character, matching HF end-to-end: the base
+                # PreTrainedTokenizer.tokenize lowercases char-by-char via
+                # re.sub BEFORE BasicTokenizer, so Final_Sigma never fires
+                tok = "".join(c.lower() for c in tok)
             if self.strip_accents:
                 tok = "".join(
                     c for c in unicodedata.normalize("NFD", tok)

@@ -23,7 +23,9 @@ def vocab_file(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def pair(vocab_file):
-    lib = native.build_native()
+    # force=True: the .so is not committed; tests must prove the from-source
+    # build works (ADVICE r1), not just load a stale binary
+    lib = native.build_native(force=True)
     if lib is None:
         pytest.skip("no C++ toolchain")
     return (WordPieceTokenizer(vocab_file, lowercase=False),
@@ -49,9 +51,9 @@ def test_native_matches_python(pair):
 
 
 def test_native_lowercase(vocab_file):
-    """Uncased mode (full-Unicode lowercase + NFD accent strip in the
-    Python pre-pass, cased C++ matching behind it) matches the pure-Python
-    uncased tokenizer, including non-ASCII case folding and accents."""
+    """Uncased mode — full-Unicode lowercase + NFD accent strip run INSIDE
+    the C++ library — matches the pure-Python uncased tokenizer, including
+    non-ASCII case folding and accents."""
     if native.build_native() is None:
         pytest.skip("no C++ toolchain")
     py = WordPieceTokenizer(vocab_file, lowercase=True)
@@ -66,3 +68,68 @@ def test_native_lowercase(vocab_file):
     # the accented variant must normalize to the same ids as the plain one
     plain, _ = nat.encode(["a man rides his red bike"], max_length=12)
     np.testing.assert_array_equal(ids_n[2], plain[0])
+
+
+HARD_UNCASED = [
+    "Naïve CAFÉ Über résumé",            # latin accents
+    "ΣΑΣ ΟΔΟΣ Σ ΝΙΚΟΣ3",                 # Greek Final_Sigma contexts
+    "İstanbul II İİ",                    # U+0130 multi-char lowercase
+    "한국어 조선말",                      # Hangul -> NFD Jamo
+    "ＦＵＬＬｗｉｄｔｈ，ＡＢＣ。",       # fullwidth Latin + CJK punct
+    "Ǆemal ǅak ǆin",                     # titlecase digraphs
+    "tschüß GROẞ",                       # sharp s forms
+    "Ĳsselmeer ŉgoro",                   # ligature-like letters
+]
+
+
+def test_native_uncased_matches_hf_hard_cases(tmp_path):
+    """The native uncased path vs HF BertTokenizer(do_lower_case=True) on
+    normalization-sensitive scripts.  The vocab is built from HF's own
+    normalized word output so matches are real (not [UNK]-vs-[UNK])."""
+    from transformers import BertTokenizer
+
+    if native.build_native() is None:
+        pytest.skip("no C++ toolchain")
+    # pass 1: harvest HF-normalized words so the vocab covers them
+    seed_vocab = tmp_path / "seed.txt"
+    write_tiny_wordpiece_vocab(str(seed_vocab), ["a"])
+    hf_seed = BertTokenizer(str(seed_vocab), do_lower_case=True)
+    words = set()
+    for s in HARD_UNCASED:
+        words.update(hf_seed.basic_tokenizer.tokenize(s))
+    vocab = tmp_path / "vocab.txt"
+    write_tiny_wordpiece_vocab(str(vocab), sorted(words))
+
+    hf = BertTokenizer(str(vocab), do_lower_case=True)
+    nat = native.NativeWordPieceTokenizer(str(vocab), lowercase=True)
+    py = WordPieceTokenizer(str(vocab), lowercase=True)
+    for s in HARD_UNCASED:
+        want = hf(s, padding="max_length", truncation=True, max_length=24,
+                  return_tensors="np")
+        ids_n, mask_n = nat.encode([s], max_length=24)
+        ids_p, _ = py.encode([s], max_length=24)
+        np.testing.assert_array_equal(
+            ids_n[0], want["input_ids"][0].astype(np.int32), err_msg=s)
+        np.testing.assert_array_equal(
+            ids_n[0], ids_p[0], err_msg=s)
+        np.testing.assert_array_equal(
+            mask_n[0], want["attention_mask"][0].astype(np.int32), err_msg=s)
+
+
+def test_native_strip_accents_override(tmp_path):
+    """strip_accents=False with lowercase=True (the HF override knob) keeps
+    accents while lowering."""
+    from transformers import BertTokenizer
+
+    if native.build_native() is None:
+        pytest.skip("no C++ toolchain")
+    vocab = tmp_path / "vocab.txt"
+    write_tiny_wordpiece_vocab(str(vocab), ["café", "cafe", "über", "uber"])
+    hf = BertTokenizer(str(vocab), do_lower_case=True, strip_accents=False)
+    nat = native.NativeWordPieceTokenizer(str(vocab), lowercase=True,
+                                          strip_accents=False)
+    for s in ["CAFÉ", "Über", "cafe"]:
+        want = hf(s)["input_ids"]
+        ids, mask = nat.encode([s], max_length=8)
+        got = [int(x) for x in ids[0][: int(mask[0].sum())]]
+        assert got == want, (s, got, want)
