@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (TPU pods)")
+    p.add_argument("--devices", default=0, type=int,
+                   help="use only the first N local devices (0 = all; "
+                        "reference --dist f1..f8/gpuN device subsets)")
     return p.parse_args()
 
 
@@ -58,7 +61,21 @@ def main():
 
     from leccr_tpu.config import load_config
 
-    cfg = load_config(args.config)
+    config_path = args.config
+    if config_path.startswith("hdfs://"):
+        # stage remote config locally before parsing (reference
+        # run.py:180-189 hdfs-fetches config/checkpoint up front)
+        import tempfile
+
+        from leccr_tpu.utils import io as uio
+
+        if not uio.exists(config_path):
+            raise FileNotFoundError(f"config not found: {config_path}")
+        local = tempfile.NamedTemporaryFile(
+            suffix=Path(config_path).suffix or ".yaml", delete=False)
+        uio.copy(config_path, local.name)
+        config_path = local.name
+    cfg = load_config(config_path)
     cfg.task = args.task
     cfg.output_dir = args.output_dir
     cfg.train.seed = args.seed
@@ -78,7 +95,12 @@ def main():
 
     from leccr_tpu.train.trainer import Trainer
 
-    trainer = Trainer(cfg)
+    devices = None
+    if args.devices > 0:
+        import jax
+
+        devices = jax.devices()[: args.devices]
+    trainer = Trainer(cfg, devices=devices)
     if args.checkpoint and args.checkpoint != "null":
         from leccr_tpu.models.weights import load_initial_checkpoint
 
