@@ -179,6 +179,13 @@ class OptimConfig:
     lr_mult_paths: List[str] = field(default_factory=list)
     betas: List[float] = field(default_factory=lambda: [0.9, 0.98])
     eps: float = 1e-8
+    # Reference-compatible update rule: the reference pins transformers 4.12
+    # (requirements.txt), whose AdamW adds eps to the UNCORRECTED sqrt(v) and
+    # bias-corrects the step size (optim.py:63).  Modern AdamW (optax/torch)
+    # adds eps to the bias-corrected sqrt(vhat); the two diverge on
+    # small-gradient params during the first steps.  Off by default (modern
+    # semantics); switch on to reproduce reference trajectories exactly.
+    legacy_eps: bool = False
 
 
 @dataclass

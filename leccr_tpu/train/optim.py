@@ -57,6 +57,40 @@ def classify_params(
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def _legacy_adamw(
+    lr_fn: Callable, b1: float, b2: float, eps: float, wd: float
+) -> optax.GradientTransformation:
+    """AdamW with the historical transformers(<4.46) update rule — the
+    optimizer the reference actually runs (requirements.txt pins
+    transformers 4.12; optim.py:63): eps is added to the UNCORRECTED
+    sqrt(v) and the bias correction scales the step size.  Decoupled weight
+    decay at rate lr*wd (the historical impl decays the post-update params;
+    doing it on pre-update params differs only at O(lr^2*wd))."""
+    import jax.numpy as jnp
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        lr = lr_fn(state.count)
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        c = count.astype(jnp.float32)
+        bias = jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+        updates = jax.tree.map(
+            lambda m, v, p: -lr * (bias * m / (jnp.sqrt(v) + eps) + wd * p),
+            mu, nu, params)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     cfg: OptimConfig,
     params: Any,
@@ -68,6 +102,10 @@ def build_optimizer(
     labels = classify_params(params, lr_mult_paths, frozen_paths)
 
     def adamw(mult: float, wd: float):
+        if cfg.legacy_eps:
+            return _legacy_adamw(
+                lambda s: schedule(s) * mult,
+                cfg.betas[0], cfg.betas[1], cfg.eps, wd)
         return optax.adamw(
             learning_rate=lambda s: schedule(s) * mult,
             b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,

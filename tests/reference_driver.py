@@ -1,0 +1,212 @@
+"""Subprocess driver: run the ACTUAL reference trainer/evaluator
+(/root/reference/LECCR/image_Retrieval_caption.py) on tiny offline towers
+and dump its trajectory for the parity test.
+
+Run in its own process so the reference's top-level packages
+(`models`, `utils`, `clip`, `dataset`) never shadow anything in the
+pytest process.  Usage:
+
+    python tests/reference_driver.py --out DIR
+
+Writes to DIR:
+    ref_init.pth     — {'model': state_dict} of the freshly built model
+    ref_results.npz  — losses [K,5], lrs [K], scores_i2t, scores_t2i
+    ref_itm.json     — reference itm_eval metric dict
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import reference_harness as rh
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    args_cli = ap.parse_args()
+
+    rh.install_stubs()
+
+    import numpy as np
+    import torch
+    import torch.distributed as dist
+
+    # the loss stack calls dist.get_rank()/all_gather unconditionally
+    # (models/xvlm.py:50-70); a 1-process gloo group over a file store
+    # reproduces multi-GPU semantics degenerately
+    store = tempfile.mktemp(prefix="leccr_ref_store_")
+    dist.init_process_group(
+        "gloo", init_method=f"file://{store}", rank=0, world_size=1)
+
+    import image_Retrieval_caption as ref_entry
+    import utils as ref_utils
+    from optim import create_optimizer
+    from scheduler import create_scheduler
+
+    dims = rh.DIMS
+    config = rh.ref_config(dims)
+    model = rh.build_reference_model(dims)
+    model.train()
+
+    out = args_cli.out
+    os.makedirs(out, exist_ok=True)
+    torch.save({"model": model.state_dict()}, os.path.join(out, "ref_init.pth"))
+
+    train_batches, eval_data, rows = rh.make_batches(dims)
+    tokenizer = rh.FakeTokenizer(rows)
+
+    def make_opt_sched(m):
+        opt = create_optimizer(
+            ref_utils.AttrDict({
+                "lr": dims["lr"], "weight_decay": dims["weight_decay"],
+                "opt": "adamW",
+            }), m)
+        sched = create_scheduler(
+            ref_utils.AttrDict({
+                "sched": "linear", "epochs": 1,
+                "step_per_epoch": dims["steps"],
+                "num_warmup_steps": dims["warmup"],
+            }), opt)
+        return opt, sched
+
+    opt, sched = make_opt_sched(model)
+
+    # capture the 5 per-step losses via a forward hook: the hook sees the
+    # tuple train() receives (image_Retrieval_caption.py:63)
+    step_losses, step_lrs = [], []
+    model.register_forward_hook(
+        lambda m, i, o: step_losses.append([float(x) for x in o]))
+
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def to_image_tensor(u8):
+        x = (u8.astype(np.float32) / 255.0 - mean) / std
+        return torch.tensor(x.transpose(0, 3, 1, 2))
+
+    class LrTap:
+        """Wraps the loader so the lr used by each step is recorded at the
+        same point train() reads batches."""
+
+        def __init__(self, items):
+            self.items = items
+
+        def __iter__(self):
+            for it in self.items:
+                step_lrs.append(opt.param_groups[0]["lr"])
+                yield it
+
+        def __len__(self):
+            return len(self.items)
+
+    loader = LrTap([
+        (to_image_tensor(b["vision"]),
+         [b["text_s"], b["text_t"]],
+         b["caption"],
+         torch.tensor(b["idx"], dtype=torch.long),
+         torch.tensor(np.zeros_like(b["idx"]), dtype=torch.long))
+        for b in train_batches
+    ])
+
+    # step-0 intermediate dump (pre-training): pinpoints which embedding
+    # diverges if the loss trajectories ever disagree
+    b0 = train_batches[0]
+    with torch.no_grad():
+        img0 = to_image_tensor(b0["vision"])
+        cap0 = tokenizer(b0["caption"])
+        ts0 = tokenizer(b0["text_s"])
+        tt0 = tokenizer(b0["text_t"])
+        ori_vis, _ = model.get_vision_embeds(img0)
+        cap_emb = model.get_caption_embeds(cap0.input_ids, cap0.attention_mask)
+        kpm = ~cap0.attention_mask.bool()
+        fused_vis, fused_slots, ori_slots = model.interaction_with_caption(
+            image_embeds=ori_vis, caption_embeds=cap_emb, key_padding_mask=kpm)
+        fused_vis = fused_vis.transpose(0, 1).contiguous()
+        image_feat = model.get_features(fused_vis, None)
+        te_s = model.get_text_embeds(ts0.input_ids, ts0.attention_mask)
+        tf_s = model.get_features(None, te_s)
+        te_t = model.get_text_embeds(tt0.input_ids, tt0.attention_mask)
+        tf_t = model.get_features(None, te_t)
+        slots = model.caption_proj1(fused_slots)
+        np.savez(os.path.join(out, "ref_step0.npz"),
+                 ori_vis=ori_vis.numpy(), cap_emb=cap_emb.numpy(),
+                 ori_slots=ori_slots.numpy(),
+                 fused_slots=fused_slots.numpy(),
+                 image_feat=image_feat.numpy(),
+                 text_feat_s=tf_s.numpy(), text_feat_t=tf_t.numpy(),
+                 slots=slots.numpy())
+
+    ref_entry.args = SimpleNamespace(distributed=False)
+    # SmoothedValue.synchronize_between_processes hardcodes device='cuda'
+    # (utils/__init__.py:38); at world_size=1 the sync is a semantic no-op
+    ref_utils.SmoothedValue.synchronize_between_processes = lambda self: None
+    ref_entry.train(model, loader, opt, tokenizer, 0, "cpu", sched, config)
+
+    # ---------------------------------------------- chaos-envelope run
+    # Adam's early steps amplify tiny forward differences multiplicatively
+    # (1/sqrt(v) with v ~ (1-b2)*g^2), so fp32 torch-vs-JAX trajectories
+    # MUST drift even with identical math.  Calibrate the legitimate drift
+    # by re-running the reference itself from epsilon-perturbed init: the
+    # parity test requires |mine - ref| to stay inside this torch-vs-torch
+    # envelope (scaled), which a genuine semantic bug cannot do.
+    model2 = rh.build_reference_model(dims)
+    model2.load_state_dict(torch.load(
+        os.path.join(out, "ref_init.pth"), map_location="cpu")["model"])
+    g = torch.Generator().manual_seed(4242)
+    with torch.no_grad():
+        for p in model2.parameters():
+            scale = torch.maximum(p.detach().abs().mean(),
+                                  torch.tensor(1e-3))
+            p.add_(torch.randn(p.shape, generator=g) * (1e-6 * scale))
+    model2.train()
+    opt2, sched2 = make_opt_sched(model2)
+    step_losses2 = []
+    model2.register_forward_hook(
+        lambda m, i, o: step_losses2.append([float(x) for x in o]))
+    loader2 = list(loader.items)
+    ref_entry.train(model2, loader2, opt2, tokenizer, 0, "cpu", sched2,
+                    config)
+
+    # ------------------------------------------------------------- eval
+    n_img, cpi = dims["eval_images"], dims["captions_per_image"]
+    eb = dims["eval_batch"]
+
+    class EvalLoader:
+        dataset = SimpleNamespace(text=eval_data["texts"])
+
+        def __iter__(self):
+            for i in range(0, n_img, eb):
+                yield (to_image_tensor(eval_data["vision"][i:i + eb]),
+                       eval_data["captions"][i:i + eb],
+                       torch.arange(i, min(i + eb, n_img)))
+
+    model.eval()
+    scores_i2t, scores_t2i = ref_entry.evaluation_coarse(
+        model, EvalLoader(), tokenizer, "cpu", config)
+    itm = ref_entry.itm_eval(scores_i2t, scores_t2i,
+                             eval_data["txt2img"], eval_data["img2txt"])
+    model2.eval()
+    scores2_i2t, _ = ref_entry.evaluation_coarse(
+        model2, EvalLoader(), tokenizer, "cpu", config)
+
+    np.savez(os.path.join(out, "ref_results.npz"),
+             losses=np.array(step_losses, np.float64),
+             losses_perturbed=np.array(step_losses2, np.float64),
+             lrs=np.array(step_lrs, np.float64),
+             scores_i2t=scores_i2t, scores_t2i=scores_t2i,
+             scores2_i2t=scores2_i2t)
+    with open(os.path.join(out, "ref_itm.json"), "w") as f:
+        json.dump({k: float(v) for k, v in itm.items()}, f)
+    print("REF_DRIVER_OK")
+
+
+if __name__ == "__main__":
+    main()
