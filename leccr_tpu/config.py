@@ -157,6 +157,12 @@ class DataConfig:
     randaugment: bool = False
     randaugment_n: int = 2
     randaugment_m: int = 7
+    # Keep decoded eval batches resident in HBM across epochs (uint8 +
+    # caption tokens), up to this budget.  The eval set is fixed, so every
+    # per-epoch eval after the first skips host decode + the host->device
+    # image upload entirely (at Multi30K scale that upload is 442 MB and
+    # dominates eval wall time over a remote transport).  0 disables.
+    cache_eval_on_device_mb: int = 2048
     # synthetic dataset knobs (tests/bench)
     synthetic_size: int = 128
     synthetic_eval_images: int = 64

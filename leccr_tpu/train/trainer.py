@@ -172,6 +172,8 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
 
         self.state = self._init_state()
+        # id(dataset) -> [(device batch, count)], see evaluate()
+        self._eval_device_cache: Dict[int, list] = {}
         self.ckpt = CheckpointManager(cfg.output_dir, cfg.train.keep_checkpoints)
         self.logger = JSONLLogger(cfg.output_dir, enabled=self.is_main)
         self._train_step = self._make_train_step()
@@ -448,13 +450,27 @@ class Trainer:
             while (item := q.get()) is not None:
                 yield item
 
+        # the eval set is fixed across epochs: keep its decoded batches
+        # (uint8 + caption tokens) in HBM so later evals skip host decode +
+        # the image upload (the dominant cost over a remote transport)
+        cache_mb = self.cfg.data.cache_eval_on_device_mb
+        cached = self._eval_device_cache.get(id(dataset))
+        source = cached if cached is not None else staged_image_batches()
+        collected = [] if cached is None and cache_mb > 0 else None
+
         img_feats, img_slots = [], []
-        for batch, count in staged_image_batches():
+        for batch, count in source:
+            if collected is not None:
+                collected.append((batch, count))
             if not self.is_video:
-                batch["vision"] = normalize_images(batch["vision"])
+                batch = {**batch, "vision": normalize_images(batch["vision"])}
             out = self._embed_images(self.state.params, batch)
             img_feats.append(out["feat"][:count])
             img_slots.append(out["slots"][:count])
+        if collected is not None:
+            nbytes = sum(v.nbytes for b, _ in collected for v in b.values())
+            if nbytes <= cache_mb * 2 ** 20:
+                self._eval_device_cache[id(dataset)] = collected
         img_feats = jnp.concatenate(img_feats, axis=0)
         img_slots = jnp.concatenate(img_slots, axis=0)
 

@@ -34,6 +34,20 @@ def trainer(tmp_path_factory):
     return Trainer(cfg, devices=jax.devices()[:1])
 
 
+def test_eval_device_cache_reused_and_equal(trainer):
+    """Second eval of the same split must hit the HBM-resident batch cache
+    (data.cache_eval_on_device_mb) and produce identical metrics."""
+    lang = list(trainer.test_ds)[0]
+    ds = trainer.test_ds[lang]
+    first = trainer.evaluate(ds)
+    assert id(ds) in trainer._eval_device_cache
+    cached_batches = trainer._eval_device_cache[id(ds)]
+    assert all(hasattr(b["vision"], "devices")  # device-resident, not host
+               for b, _ in cached_batches)
+    second = trainer.evaluate(ds)
+    assert first == second
+
+
 def test_train_two_epochs_loss_decreases_and_ckpt(trainer):
     losses = []
     orig = trainer.train_epoch
