@@ -179,13 +179,14 @@ def test_randaugment_ops_shapes_and_ranges():
 
     img = jnp.asarray(
         np.random.RandomState(0).rand(24, 24, 3).astype(np.float32))
-    for op in ra.OP_BANK:
-        out = op(img, 7)
-        assert out.shape == img.shape, op.__name__
-        assert float(jnp.min(out)) >= -1e-5, op.__name__
-        assert float(jnp.max(out)) <= 1.0 + 1e-5, op.__name__
+    rng = jax.random.PRNGKey(5)
+    for name, op in ra.OP_BANK.items():
+        out = op(img, 7, rng)
+        assert out.shape == img.shape, name
+        assert float(jnp.min(out)) >= -1e-5, name
+        assert float(jnp.max(out)) <= 1.0 + 1e-5, name
     # identity really is identity
-    np.testing.assert_array_equal(np.asarray(ra.identity(img, 7)),
+    np.testing.assert_array_equal(np.asarray(ra.identity(img, 7, rng)),
                                   np.asarray(img))
     # full policy: deterministic per key, differs across keys
     out1 = ra.rand_augment(img, jax.random.PRNGKey(0))
