@@ -120,6 +120,49 @@ def test_optimizer_param_groups():
     assert labels["temp"] == "mult_decay"
 
 
+def test_legacy_eps_matches_historical_adamw():
+    """OptimConfig.legacy_eps reproduces the transformers<4.46 AdamW update
+    (eps on uncorrected sqrt(v), bias-corrected step size, decoupled wd) —
+    the optimizer the reference pins (requirements.txt; optim.py:63)."""
+    import math
+
+    from leccr_tpu.config import OptimConfig
+    from leccr_tpu.train.optim import build_optimizer
+
+    rs = np.random.RandomState(3)
+    p0 = rs.randn(5, 4).astype(np.float32)
+    grads_seq = [rs.randn(5, 4).astype(np.float32) * 10 ** rs.randint(-6, 1)
+                 for _ in range(4)]
+    lr, wd, b1, b2, eps = 1e-3, 0.02, 0.9, 0.98, 1e-8
+
+    # numpy re-derivation of the historical update
+    p = p0.copy()
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    for t, g in enumerate(grads_seq, start=1):
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        step_size = lr * math.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        p = p - step_size * m / (np.sqrt(v) + eps)
+        p = p - lr * wd * p
+    want = p
+
+    cfg = OptimConfig(lr=lr, weight_decay=wd, betas=[b1, b2], eps=eps,
+                      legacy_eps=True)
+    params = {"dense": {"kernel": jnp.asarray(p0)}}
+    tx = build_optimizer(cfg, params, lambda s: lr)
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update(
+            {"dense": {"kernel": jnp.asarray(g)}}, state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+    got = np.asarray(params["dense"]["kernel"])
+    # wd ordering (pre- vs post-update params) differs at O(lr^2 wd)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-7)
+
+
 def test_schedule_shape():
     sched = linear_warmup_decay(1e-4, total_steps=100, num_warmup_steps=0.1)
     assert resolve_warmup(0.1, 100) == 10
