@@ -228,6 +228,12 @@ class TrainConfig:
     batch_size_test: int = 64
     batch_size_test_text: int = 256
     seed: int = 42
+    # PRNG implementation for the in-step dropout keys.  "rbg" samples the
+    # masks with the TPU-native hardware RNG while still deriving keys with
+    # threefry (fold_in/split) — measured 137 -> 114 ms/step at bs64 on v5e
+    # (threefry mask generation alone was ~17% of the step).  "threefry"
+    # restores the classic JAX stream bit-for-bit.
+    rng_impl: str = "rbg"
     optimizer: OptimConfig = field(default_factory=OptimConfig)
     schedular: SchedConfig = field(default_factory=SchedConfig)  # ref spelling
     log_every: int = 50

@@ -268,12 +268,17 @@ class Trainer:
             itc_loss_fn = infonce_loss
 
         seed = self.cfg.train.seed + 17
+        rng_impl = self.cfg.train.rng_impl
 
         def step_fn(params, opt_state, batch, step_no):
             # key derived in-graph from the step counter: no per-step host
             # device_put of a PRNG key, and the step scalar is a plain
-            # numpy input every process agrees on (multi-host safe)
-            rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_no)
+            # numpy input every process agrees on (multi-host safe).
+            # rng_impl="rbg" keeps threefry-quality key derivation but
+            # samples dropout masks with the TPU hardware RNG (see
+            # TrainConfig.rng_impl)
+            rng = jax.random.fold_in(
+                jax.random.key(seed, impl=rng_impl), step_no)
             idx = batch.pop("idx")
             flip = batch.pop("flip", None)
 

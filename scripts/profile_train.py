@@ -80,7 +80,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, losses
 
     jstep = jax.jit(step, donate_argnums=(0, 1))
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl=cfg.train.rng_impl)
     # XLA's own FLOP count for the step -> measured MFU below
     try:
         cost = jstep.lower(params, opt_state, dict(batch),
