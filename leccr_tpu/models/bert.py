@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from leccr_tpu.config import TextConfig
+from leccr_tpu.ops.dropout import LeanDropout
 
 
 class _BertSelfAttention(nn.Module):
@@ -49,12 +50,12 @@ class _BertSelfAttention(nn.Module):
                 scores.dtype)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
             self.dtype)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic)
+        probs = LeanDropout(cfg.attention_dropout)(probs, deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, cfg.hidden_size)
         # attention output projection + residual LN (HF BertSelfOutput)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(out)
-        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic)
+        out = LeanDropout(cfg.hidden_dropout)(out, deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="out_ln")(out + hidden)
 
@@ -72,7 +73,7 @@ class _BertLayer(nn.Module):
                          name="intermediate")(attn)
         inter = jax.nn.gelu(inter, approximate=False)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
-        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic)
+        out = LeanDropout(cfg.hidden_dropout)(out, deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_ln")(out + attn)
 
@@ -139,7 +140,7 @@ class BertEncoder(nn.Module):
         hidden = word + pos + typ
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="embeddings_ln")(hidden)
-        hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic)
+        hidden = LeanDropout(cfg.hidden_dropout)(hidden, deterministic)
 
         if self.scan_layers:
             scanned = nn.scan(

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from leccr_tpu.ops.dropout import LeanDropout  # noqa: E402
+
 
 def dot_product_attention(
     q: jax.Array,
@@ -117,7 +119,7 @@ class _FFN(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.d_model, dtype=self.dtype, name="linear1")(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = LeanDropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
 
 
@@ -148,7 +150,7 @@ class CrossAttentionBlock(nn.Module):
         )
         ffn_out = _FFN(self.d_model, self.dropout, self.dtype, name="ffn")(
             attn_out, deterministic=deterministic)
-        ffn_out = nn.Dropout(self.dropout)(ffn_out, deterministic=deterministic)
+        ffn_out = LeanDropout(self.dropout)(ffn_out, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt + ffn_out)
 
 
@@ -207,7 +209,7 @@ class SelfAttentionBlock(nn.Module):
         )
         ffn_out = _FFN(self.d_model, self.dropout, self.dtype, name="ffn")(
             attn_out, deterministic=deterministic)
-        ffn_out = nn.Dropout(self.dropout)(ffn_out, deterministic=deterministic)
+        ffn_out = LeanDropout(self.dropout)(ffn_out, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(src + ffn_out)
 
 
