@@ -54,6 +54,8 @@ class VisionConfig:
 
     kind: str = "clip_vit"  # clip_vit | temporal
     variant: str = "ViT-B/32"  # ViT-B/32 | ViT-B/16 | ViT-L/14 (clip_vit only)
+    # fused Pallas attention (see TextConfig.fused_attention); TPU-only
+    fused_attention: bool = False
     image_res: int = 384
     # temporal tower (video): input per-frame feature dim and depth
     frame_feat_dim: int = 4096
@@ -90,6 +92,11 @@ class TextConfig:
     attention_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # fuse QK^T -> mask -> softmax -> dropout -> PV into one Pallas kernel
+    # per batch item (ops/flash_attention.py); TPU-only, falls back to the
+    # XLA attention elsewhere.  Keeps [B,H,L,L] probabilities and dropout
+    # masks out of HBM entirely (the bwd regenerates the mask from the seed)
+    fused_attention: bool = False
 
 
 @dataclass

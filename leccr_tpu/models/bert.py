@@ -42,16 +42,30 @@ class _BertSelfAttention(nn.Module):
         q = split(dense("query")(hidden))
         k = split(dense("key")(hidden))
         v = split(dense("value")(hidden))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(head_dim).astype(
-            self.dtype)
-        if attention_mask is not None:
-            bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
-            scores = scores + (bias * jnp.finfo(jnp.float32).min).astype(
-                scores.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-            self.dtype)
-        probs = LeanDropout(cfg.attention_dropout)(probs, deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if cfg.fused_attention and jax.default_backend() == "tpu":
+            from leccr_tpu.ops.flash_attention import flash_tower_attention
+
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            seed = 0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2 ** 31 - 1)
+            padding = None
+            if attention_mask is not None:
+                padding = 1 - attention_mask.astype(jnp.int32)
+            out = flash_tower_attention(q, k, v, padding, seed, rate)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                head_dim).astype(self.dtype)
+            if attention_mask is not None:
+                bias = (1.0
+                        - attention_mask[:, None, None, :].astype(jnp.float32))
+                scores = scores + (bias * jnp.finfo(jnp.float32).min).astype(
+                    scores.dtype)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+                self.dtype)
+            probs = LeanDropout(cfg.attention_dropout)(probs, deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, cfg.hidden_size)
         # attention output projection + residual LN (HF BertSelfOutput)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(out)

@@ -58,6 +58,7 @@ class _CLIPAttention(nn.Module):
     heads: int
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -70,14 +71,20 @@ class _CLIPAttention(nn.Module):
             return t.reshape(b, l, self.heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(head_dim).astype(
-            x.dtype)
-        if self.causal:
-            mask = jnp.tril(jnp.ones((l, l), dtype=bool))
-            scores = jnp.where(mask[None, None], scores,
-                               jnp.finfo(scores.dtype).min)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if self.fused and not self.causal and jax.default_backend() == "tpu":
+            from leccr_tpu.ops.flash_attention import flash_tower_attention
+
+            out = flash_tower_attention(q, k, v, None, 0, 0.0)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                head_dim).astype(x.dtype)
+            if self.causal:
+                mask = jnp.tril(jnp.ones((l, l), dtype=bool))
+                scores = jnp.where(mask[None, None], scores,
+                                   jnp.finfo(scores.dtype).min)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
@@ -89,11 +96,12 @@ class _ResidualBlock(nn.Module):
     heads: int
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x + _CLIPAttention(self.width, self.heads, self.causal, self.dtype,
-                               name="attn")(
+                               self.fused, name="attn")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x))
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(h)
@@ -110,13 +118,14 @@ class _ScannedResidualBlock(nn.Module):
     causal: bool
     dtype: jnp.dtype
     remat: bool
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         block_cls = (nn.remat(_ResidualBlock) if self.remat
                      else _ResidualBlock)
         x = block_cls(self.width, self.heads, self.causal, self.dtype,
-                      name="block")(x)
+                      self.fused, name="block")(x)
         return x, None
 
 
@@ -128,6 +137,7 @@ class _Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -138,14 +148,14 @@ class _Transformer(nn.Module):
                 split_rngs={"params": True},
                 length=self.layers,
             )(self.width, self.heads, self.causal, self.dtype, self.remat,
-              name="resblocks")
+              self.fused, name="resblocks")
             x, _ = scanned(x, None)
             return x
         block_cls = (nn.remat(_ResidualBlock) if self.remat
                      else _ResidualBlock)
         for i in range(self.layers):
             x = block_cls(self.width, self.heads, self.causal, self.dtype,
-                          name=f"resblock_{i}")(x)
+                          self.fused, name=f"resblock_{i}")(x)
         return x
 
 
@@ -184,6 +194,7 @@ class CLIPVisionTower(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, image: jax.Array) -> jax.Array:
@@ -211,7 +222,7 @@ class CLIPVisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         x = _Transformer(self.width, self.layers, self.heads, dtype=self.dtype,
                          remat=self.remat, scan_layers=self.scan_layers,
-                         name="transformer")(x)
+                         fused=self.fused_attention, name="transformer")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
         proj = self.param(
             "proj", nn.initializers.normal(self.width ** -0.5),
@@ -272,5 +283,6 @@ def build_vision_tower(cfg, dtype=jnp.float32, remat=False, scan_layers=False
     tower = CLIPVisionTower(
         width=width, layers=depth, heads=heads,
         patch_size=var.patch_size, embed_dim=embed_dim, dtype=dtype,
-        remat=remat, scan_layers=scan_layers)
+        remat=remat, scan_layers=scan_layers,
+        fused_attention=getattr(cfg, "fused_attention", False))
     return tower, embed_dim

@@ -32,6 +32,9 @@ def main():
     cfg.model.dtype = "bfloat16"
     cfg.model.scan_layers = "--scan" in sys.argv
     cfg.model.remat = cfg.model.scan_layers or "--remat" in sys.argv
+    if "--fused" in sys.argv:
+        cfg.model.text.fused_attention = True
+        cfg.model.vision.fused_attention = True
     model = LECCRModel(cfg.model)
     rs = np.random.RandomState(0)
     batch = {
