@@ -42,7 +42,8 @@ class _BertSelfAttention(nn.Module):
         q = split(dense("query")(hidden))
         k = split(dense("key")(hidden))
         v = split(dense("value")(hidden))
-        if cfg.fused_attention and jax.default_backend() == "tpu":
+        if (cfg.fused_attention and not deterministic
+                and jax.default_backend() == "tpu"):
             from leccr_tpu.ops.flash_attention import flash_tower_attention
 
             rate = 0.0 if deterministic else cfg.attention_dropout

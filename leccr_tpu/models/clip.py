@@ -61,7 +61,7 @@ class _CLIPAttention(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         b, l, _ = x.shape
         head_dim = self.width // self.heads
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
@@ -71,7 +71,8 @@ class _CLIPAttention(nn.Module):
             return t.reshape(b, l, self.heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        if self.fused and not self.causal and jax.default_backend() == "tpu":
+        if (self.fused and not self.causal and not deterministic
+                and jax.default_backend() == "tpu"):
             from leccr_tpu.ops.flash_attention import flash_tower_attention
 
             out = flash_tower_attention(q, k, v, None, 0, 0.0)
@@ -99,10 +100,11 @@ class _ResidualBlock(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = x + _CLIPAttention(self.width, self.heads, self.causal, self.dtype,
                                self.fused, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x),
+            deterministic)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
@@ -119,13 +121,14 @@ class _ScannedResidualBlock(nn.Module):
     dtype: jnp.dtype
     remat: bool
     fused: bool = False
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x, _):
-        block_cls = (nn.remat(_ResidualBlock) if self.remat
-                     else _ResidualBlock)
+        block_cls = (nn.remat(_ResidualBlock, static_argnums=(2,))
+                     if self.remat else _ResidualBlock)
         x = block_cls(self.width, self.heads, self.causal, self.dtype,
-                      self.fused, name="block")(x)
+                      self.fused, name="block")(x, self.deterministic)
         return x, None
 
 
@@ -140,7 +143,7 @@ class _Transformer(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         if self.scan_layers:
             scanned = nn.scan(
                 _ScannedResidualBlock,
@@ -148,14 +151,14 @@ class _Transformer(nn.Module):
                 split_rngs={"params": True},
                 length=self.layers,
             )(self.width, self.heads, self.causal, self.dtype, self.remat,
-              self.fused, name="resblocks")
+              self.fused, deterministic, name="resblocks")
             x, _ = scanned(x, None)
             return x
-        block_cls = (nn.remat(_ResidualBlock) if self.remat
-                     else _ResidualBlock)
+        block_cls = (nn.remat(_ResidualBlock, static_argnums=(2,))
+                     if self.remat else _ResidualBlock)
         for i in range(self.layers):
             x = block_cls(self.width, self.heads, self.causal, self.dtype,
-                          self.fused, name=f"resblock_{i}")(x)
+                          self.fused, name=f"resblock_{i}")(x, deterministic)
         return x
 
 
@@ -197,7 +200,8 @@ class CLIPVisionTower(nn.Module):
     fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, image: jax.Array) -> jax.Array:
+    def __call__(self, image: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
         b, h, w, _ = image.shape  # NHWC
         x = nn.Conv(
             self.width,
@@ -222,7 +226,8 @@ class CLIPVisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         x = _Transformer(self.width, self.layers, self.heads, dtype=self.dtype,
                          remat=self.remat, scan_layers=self.scan_layers,
-                         fused=self.fused_attention, name="transformer")(x)
+                         fused=self.fused_attention,
+                         name="transformer")(x, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
         proj = self.param(
             "proj", nn.initializers.normal(self.width ** -0.5),

@@ -158,7 +158,7 @@ class LECCRModel(nn.Module):
         """Image [B,H,W,3] -> ([B, 1+G², Dv], None); video frames
         ([B,T,Df], mask [B,T]) -> ([B,T,Dv], mask)."""
         if self.cfg.vision.kind == "clip_vit":
-            return self.vision_tower(vision_input), None
+            return self.vision_tower(vision_input, deterministic), None
         return (
             self.vision_tower(vision_input, vision_mask, deterministic),
             vision_mask,
