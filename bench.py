@@ -42,8 +42,8 @@ import numpy as np
 N_IMG, N_TXT = 1000, 5000
 MAX_TOKENS = 200
 IMAGE_RES = 384
-TEXT_BS = 256
-IMG_BS = 50
+TEXT_BS = int(os.environ.get("LECCR_BENCH_TEXT_BS", 256))
+IMG_BS = int(os.environ.get("LECCR_BENCH_IMG_BS", 50))
 VOCAB = 119547
 
 
