@@ -26,6 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = float(jnp.finfo(jnp.float32).min)
@@ -133,6 +134,100 @@ def _specs(b, h, lq, lk, d):
     return qspec, kspec, mspec, lspec
 
 
+def _fwd_pallas(seed, q, k, v, mask3, rate, interpret):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qspec, kspec, mspec, lspec = _specs(b, h, lq, lk, d)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[qspec, kspec, kspec, mspec],
+            out_specs=[qspec, lspec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lq), jnp.float32)],
+        interpret=interpret,
+    )(seed, q, k, v, mask3)
+
+
+def _bwd_pallas(seed, q, k, v, mask3, lse, g, rate, interpret):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qspec, kspec, mspec, lspec = _specs(b, h, lq, lk, d)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[qspec, kspec, kspec, mspec, lspec, qspec],
+            out_specs=[qspec, kspec, kspec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lk, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, lk, d), v.dtype)],
+        interpret=interpret,
+    )(seed, q, k, v, mask3, lse, g)
+
+
+def _dim0_spec(shapes):
+    """Batch-axis entry of the q operand's sharding spec (None if
+    replicated/unsharded)."""
+    sharding = shapes[1].sharding
+    spec = getattr(sharding, "spec", None)
+    return spec[0] if spec else None
+
+
+def _make_partitioned(impl, rule, n_q_outs, n_k_outs):
+    """Wrap a pallas caller with a GSPMD/Shardy batch-partitioning rule:
+    every tensor operand/result is sharded on dim 0 exactly like q; the
+    seed stays replicated.  Without this, XLA treats the pallas custom
+    call as opaque and replicates it (all-gathering every operand) on
+    multi-device meshes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn = custom_partitioning(impl)
+
+    def result_shardings(mesh, b_axis):
+        return tuple(NamedSharding(mesh, P(b_axis))
+                     for _ in range(n_q_outs + n_k_outs))
+
+    def infer(mesh, shapes, result_shape):
+        return result_shardings(mesh, _dim0_spec(shapes))
+
+    def part(mesh, shapes, result_shape):
+        b_axis = _dim0_spec(shapes)
+        arg_sh = tuple(
+            NamedSharding(mesh, P() if i == 0 else P(b_axis))
+            for i in range(len(shapes)))
+        return mesh, impl, result_shardings(mesh, b_axis), arg_sh
+
+    fn.def_partition(partition=part, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(rate, interpret):
+    def impl(seed, q, k, v, mask3):
+        return _fwd_pallas(seed, q, k, v, mask3, rate, interpret)
+
+    return _make_partitioned(
+        impl, "i, b h q d, b h k d, b h k d, b m k -> b h q d, b h q", 2, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(rate, interpret):
+    def impl(seed, q, k, v, mask3, lse, g):
+        return _bwd_pallas(seed, q, k, v, mask3, lse, g, rate, interpret)
+
+    return _make_partitioned(
+        impl,
+        "i, b h q d, b h k d, b h k d, b m k, b h q, b h q d "
+        "-> b h q d, b h k d, b h k d", 1, 2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def flash_tower_attention(q, k, v, padding_mask, seed,
                           dropout_rate=0.0, interpret=False):
@@ -153,20 +248,8 @@ def _flash_fwd(q, k, v, padding_mask, seed, dropout_rate, interpret):
         padding_mask = jnp.zeros((b, lk), jnp.int32)
     padding_mask = padding_mask.astype(jnp.int32)[:, None, :]
     seed = jnp.asarray(seed, jnp.int32).reshape((1,))
-    qspec, kspec, mspec, lspec = _specs(b, h, lq, lk, d)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, rate=float(dropout_rate),
-                          interpret=interpret),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=[qspec, kspec, kspec, mspec],
-            out_specs=[qspec, lspec],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, lq), jnp.float32)],
-        interpret=interpret,
-    )(seed, q, k, v, padding_mask)
+    out, lse = _partitioned_fwd(float(dropout_rate), interpret)(
+        seed, q, k, v, padding_mask)
     return out, (q, k, v, padding_mask, seed, lse)
 
 
@@ -178,23 +261,8 @@ def _flash_fwd_vjp(q, k, v, padding_mask, seed, dropout_rate, interpret):
 
 def _flash_bwd(dropout_rate, interpret, res, g):
     q, k, v, padding_mask, seed, lse = res
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
-    qspec, kspec, mspec, lspec = _specs(b, h, lq, lk, d)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, rate=float(dropout_rate),
-                          interpret=interpret),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=[qspec, kspec, kspec, mspec, lspec, qspec],
-            out_specs=[qspec, kspec, kspec],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, lk, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, lk, d), v.dtype)],
-        interpret=interpret,
-    )(seed, q, k, v, padding_mask, lse, g)
+    dq, dk, dv = _partitioned_bwd(float(dropout_rate), interpret)(
+        seed, q, k, v, padding_mask, lse, g)
     return dq, dk, dv, None, None
 
 

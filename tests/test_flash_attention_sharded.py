@@ -37,7 +37,36 @@ def test_batch_sharded_inputs_match_single_device():
     vd = jax.device_put(v, sh4)
     md = jax.device_put(mask, sh2)
 
-    out = jax.jit(
-        lambda a, b, c, m: flash_tower_attention(a, b, c, m, 0, 0.0, True)
-    )(qd, kd, vd, md)
+    f = jax.jit(
+        lambda a, b, c, m: flash_tower_attention(a, b, c, m, 0, 0.0, True))
+    out = f(qd, kd, vd, md)
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+    # the custom_partitioning rule must shard the kernel over the batch
+    # axis — no all-gathers/replication around the pallas call
+    hlo = f.lower(qd, kd, vd, md).compile().as_text()
+    assert "all-gather" not in hlo, "kernel got replicated under the mesh"
+
+
+def test_sharded_grads_match_single_device():
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    rs = np.random.RandomState(1)
+    q = rs.randn(B, H, L, D).astype(np.float32)
+    k = rs.randn(B, H, L, D).astype(np.float32)
+    v = rs.randn(B, H, L, D).astype(np.float32)
+
+    def loss(q, k, v):
+        out = flash_tower_attention(q, k, v, None, 0, 0.0, True)
+        return jnp.sum(out * out)
+
+    want = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+    sh4 = NamedSharding(mesh, P("data"))
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+        jax.device_put(q, sh4), jax.device_put(k, sh4),
+        jax.device_put(v, sh4))
+    for a, b, name in zip(g, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, err_msg=name)
