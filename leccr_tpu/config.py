@@ -116,6 +116,20 @@ class ModelConfig:
     weight_dstl_loss: float = 0.5
     weight_cv_loss: float = 0.01
     dstl_alpha: float = 0.8
+    # Caption-vision loss normalization axis.  The reference calls
+    # F.normalize with its DEFAULT dim=1, i.e. it normalizes cproj/vproj
+    # outputs across the TOKEN axis, not the feature axis
+    # (model_retrieval_caption.py:118-126, video_…caption.py:144-150 —
+    # almost certainly an accident of the default, but it is what the
+    # model trains with).  1 = faithful reference behavior (default);
+    # -1 = feature-axis cosine variant.
+    cv_normalize_dim: int = 1
+    # Video caption-vision loss frame pooling: the reference plain-means the
+    # temporal-encoder outputs INCLUDING padded frame positions
+    # (video_model_retrieval_caption.py:144-160); True (default) uses the
+    # masked mean instead — strictly more correct, identical when batches
+    # are unpadded.  Set False to reproduce reference trajectories exactly.
+    video_cv_mask_frames: bool = True
     dropout: float = 0.1
     use_one_cl_proj_only: bool = False
     # compute dtype for the towers; params & loss math stay fp32

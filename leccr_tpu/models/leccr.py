@@ -289,23 +289,30 @@ class LECCRModel(nn.Module):
 
         slots = self.caption_proj1(fused_slots)
 
-        # caption_vision_loss inputs: per-token L2-normalize after cproj/vproj,
-        # then mean over tokens.  The reference computes the mean over all
-        # token *pairs* of dot products (model_retrieval_caption.py:126-134);
-        # since dot is bilinear that equals the dot of token means, so we
-        # reduce before the (possibly cross-device) loss — gathering [B, Dv]
-        # instead of [B, 145, Dv].
-        cap_norm = _l2_normalize(self.cproj(ori_slots))
+        # caption_vision_loss inputs: L2-normalize after cproj/vproj (over
+        # cfg.cv_normalize_dim — the reference's F.normalize defaults to the
+        # TOKEN axis), then mean over tokens.  The reference computes the
+        # mean over all token *pairs* of dot products
+        # (model_retrieval_caption.py:126-134); since dot is bilinear that
+        # equals the dot of token means regardless of how each token was
+        # normalized, so we reduce before the (possibly cross-device) loss —
+        # gathering [B, Dv] instead of [B, 145, Dv].
+        cv_axis = 1 if cfg.cv_normalize_dim == 1 else -1
+        cap_norm = _l2_normalize(self.cproj(ori_slots), axis=cv_axis)
         if vision_mask is None:
-            vis_norm = _l2_normalize(self.vproj(ori_vision))
+            vis_norm = _l2_normalize(self.vproj(ori_vision), axis=cv_axis)
             cv_vision_mean = jnp.mean(vis_norm, axis=1)
         else:
             # the reference's video cv-loss does NOT mask padded frames
             # (video_model_retrieval_caption.py:144-160 uses plain mean);
-            # we keep the masked mean — strictly more correct, and identical
-            # when batches are unpadded.
-            vis_norm = _l2_normalize(self.vproj(ori_vision))
-            cv_vision_mean = masked_mean_pool(vis_norm, vision_mask)
+            # the masked mean (default) is strictly more correct and
+            # identical when batches are unpadded —
+            # cfg.video_cv_mask_frames=False reproduces the reference
+            vis_norm = _l2_normalize(self.vproj(ori_vision), axis=cv_axis)
+            if cfg.video_cv_mask_frames:
+                cv_vision_mean = masked_mean_pool(vis_norm, vision_mask)
+            else:
+                cv_vision_mean = jnp.mean(vis_norm, axis=1)
         cv_caption_mean = jnp.mean(cap_norm, axis=1)
 
         return TrainEmbeddings(
@@ -350,8 +357,9 @@ class LECCRModel(nn.Module):
         return self.text_features(hidden).astype(jnp.float32)
 
 
-def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """torch F.normalize semantics (clamped norm)."""
+def _l2_normalize(x: jax.Array, eps: float = 1e-12,
+                  axis: int = -1) -> jax.Array:
+    """torch F.normalize semantics (clamped norm) over `axis`."""
     norm = jnp.maximum(
-        jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), eps)
+        jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True), eps)
     return (x.astype(jnp.float32) / norm).astype(x.dtype)

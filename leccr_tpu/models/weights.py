@@ -119,7 +119,7 @@ def _convert_reference_head(sd: Dict[str, Any]) -> Dict[str, Any]:
     if has("temp"):
         out["temp"] = _np(sd["temp"]).reshape(())
 
-    for stack in ("crossattn_query", "crossattn", "crossattn2"):
+    def stack_layers(stack):
         layers = {}
         i = 0
         while has(f"{stack}.layers.{i}.linear1.weight"):
@@ -138,8 +138,19 @@ def _convert_reference_head(sd: Dict[str, Any]) -> Dict[str, Any]:
                          "bias": _np(sd[f"{p}.norm2.bias"])},
             }
             i += 1
+        return layers
+
+    for stack in ("crossattn_query", "crossattn", "crossattn2"):
+        layers = stack_layers(stack)
         if layers:
             out[stack] = layers
+
+    # video temporal encoder (reference video_model_retrieval_caption.py:27:
+    # SelfAttention(d_model=vision_width) named vid_encoder; same block
+    # family — multihead_attn/linear1/linear2/norm2)
+    vid = stack_layers("vid_encoder")
+    if vid:
+        out["vision_tower"] = {"encoder": vid}
     return out
 
 

@@ -28,12 +28,172 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import reference_harness as rh
 
 
+def video_main(out: str) -> None:
+    """Same protocol as main() for the ACTUAL reference video entry
+    (video_Retrieval_caption_double_sim.py: train():29-85, double-sim
+    evaluation_coarse():94-190, itm_eval():194-247)."""
+    import numpy as np
+    import torch
+    import torch.distributed as dist
+
+    store = tempfile.mktemp(prefix="leccr_refv_store_")
+    dist.init_process_group(
+        "gloo", init_method=f"file://{store}", rank=0, world_size=1)
+
+    dims = rh.VIDEO_DIMS
+    config = rh.ref_video_config(dims)
+    model = rh.build_reference_video_model(dims)  # patches models.* first
+    model.train()
+
+    import utils as ref_utils
+    import video_Retrieval_caption_double_sim as ref_entry
+    from optim import create_optimizer
+    from scheduler import create_scheduler
+
+    os.makedirs(out, exist_ok=True)
+    torch.save({"model": model.state_dict()},
+               os.path.join(out, "ref_init.pth"))
+
+    train_batches, eval_data, rows = rh.make_video_batches(dims)
+    tokenizer = rh.FakeTokenizer(rows)
+
+    opt = create_optimizer(
+        ref_utils.AttrDict({
+            "lr": dims["lr"], "weight_decay": dims["weight_decay"],
+            "opt": "adamW",
+        }), model)
+    sched = create_scheduler(
+        ref_utils.AttrDict({
+            "sched": "linear", "epochs": 1, "step_per_epoch": dims["steps"],
+            "num_warmup_steps": dims["warmup"],
+        }), opt)
+
+    step_losses, step_lrs = [], []
+    model.register_forward_hook(
+        lambda m, i, o: step_losses.append([float(x) for x in o]))
+
+    loader = []
+    for b in train_batches:
+        loader.append((
+            torch.tensor(b["vision"]),
+            torch.tensor(b["vision_mask"]),
+            [b["text_s"], b["text_t"]],
+            b["caption"],
+            torch.tensor(b["idx"], dtype=torch.long),
+            torch.tensor(np.zeros_like(b["idx"]), dtype=torch.long)))
+
+    class LrTap:
+        def __init__(self, items):
+            self.items = items
+
+        def __iter__(self):
+            for it in self.items:
+                step_lrs.append(opt.param_groups[0]["lr"])
+                yield it
+
+        def __len__(self):
+            return len(self.items)
+
+    # step-0 intermediate dump (pre-training)
+    b0 = train_batches[0]
+    with torch.no_grad():
+        vid0 = torch.tensor(b0["vision"])
+        msk0 = torch.tensor(b0["vision_mask"])
+        cap0 = tokenizer(b0["caption"])
+        ts0 = tokenizer(b0["text_s"])
+        ori_vis, vatts = model.get_vision_embeds(vid0, msk0)
+        cap_emb = model.get_caption_embeds(cap0.input_ids,
+                                           cap0.attention_mask)
+        kpm = ~cap0.attention_mask.bool()
+        fused_vis, fused_slots, ori_slots = model.interaction_with_caption(
+            image_embeds=ori_vis, caption_embeds=cap_emb,
+            key_padding_mask=kpm, video_mask=vatts)
+        fused_vis = fused_vis.transpose(0, 1).contiguous()
+        image_feat = model.get_features(fused_vis, None,
+                                        vis_mask=msk0.unsqueeze(-1))
+        te_s = model.get_text_embeds(ts0.input_ids, ts0.attention_mask)
+        tf_s = model.get_features(None, te_s)
+        idx0 = torch.tensor(b0["idx"], dtype=torch.long)
+        loss_cv_raw = model.caption_vision_loss(
+            ori_slots.contiguous(), ori_vis.contiguous(), idx0)
+        loss_vs_raw = model.get_contrastive_loss(image_feat, tf_s, idx=idx0)
+        np.savez(os.path.join(out, "ref_step0.npz"),
+                 ori_vis=ori_vis.numpy(), ori_slots=ori_slots.numpy(),
+                 image_feat=image_feat.numpy(), text_feat_s=tf_s.numpy(),
+                 loss_cv_raw=float(loss_cv_raw),
+                 loss_vs_raw=float(loss_vs_raw))
+
+    ref_entry.args = SimpleNamespace(distributed=False)
+    ref_utils.SmoothedValue.synchronize_between_processes = lambda self: None
+    ref_entry.train(model, LrTap(loader), opt, tokenizer, 0, "cpu", sched,
+                    config)
+
+    # chaos-envelope run (same methodology as the image driver)
+    model2 = rh.build_reference_video_model(dims)
+    model2.load_state_dict(torch.load(
+        os.path.join(out, "ref_init.pth"), map_location="cpu")["model"])
+    gen = torch.Generator().manual_seed(4242)
+    with torch.no_grad():
+        for p in model2.parameters():
+            scale = torch.maximum(p.detach().abs().mean(),
+                                  torch.tensor(1e-3))
+            p.add_(torch.randn(p.shape, generator=gen) * (1e-6 * scale))
+    model2.train()
+    opt2 = create_optimizer(
+        ref_utils.AttrDict({
+            "lr": dims["lr"], "weight_decay": dims["weight_decay"],
+            "opt": "adamW",
+        }), model2)
+    sched2 = create_scheduler(
+        ref_utils.AttrDict({
+            "sched": "linear", "epochs": 1, "step_per_epoch": dims["steps"],
+            "num_warmup_steps": dims["warmup"],
+        }), opt2)
+    step_losses2 = []
+    model2.register_forward_hook(
+        lambda m, i, o: step_losses2.append([float(x) for x in o]))
+    ref_entry.train(model2, list(loader), opt2, tokenizer, 0, "cpu", sched2,
+                    config)
+
+    n_img = dims["eval_images"]
+    eb = dims["eval_batch"]
+
+    class EvalLoader:
+        dataset = SimpleNamespace(text=eval_data["texts"])
+
+        def __iter__(self):
+            for i in range(0, n_img, eb):
+                yield (torch.tensor(eval_data["vision"][i:i + eb]),
+                       torch.tensor(eval_data["vision_mask"][i:i + eb]),
+                       eval_data["captions"][i:i + eb],
+                       torch.arange(i, min(i + eb, n_img)))
+
+    model.eval()
+    scores_i2t, scores_t2i = ref_entry.evaluation_coarse(
+        model, EvalLoader(), tokenizer, "cpu", config, alpha=0.9)
+    itm = ref_entry.itm_eval(scores_i2t, scores_t2i,
+                             eval_data["txt2img"], eval_data["img2txt"])
+
+    np.savez(os.path.join(out, "ref_results.npz"),
+             losses=np.array(step_losses, np.float64),
+             losses_perturbed=np.array(step_losses2, np.float64),
+             lrs=np.array(step_lrs, np.float64),
+             scores_i2t=scores_i2t, scores_t2i=scores_t2i)
+    with open(os.path.join(out, "ref_itm.json"), "w") as f:
+        json.dump({k: float(v) for k, v in itm.items()}, f)
+    print("REF_DRIVER_OK")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
+    ap.add_argument("--video", action="store_true")
     args_cli = ap.parse_args()
 
     rh.install_stubs()
+    if args_cli.video:
+        video_main(args_cli.out)
+        return
 
     import numpy as np
     import torch

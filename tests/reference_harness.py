@@ -250,6 +250,88 @@ def build_reference_model(dims=DIMS, seed: int = 0):
     return model
 
 
+VIDEO_DIMS = dict(
+    DIMS,
+    frames=6, frame_dim=64,  # vision_width of the video tower
+    vision_layers=1,
+    eval_batch=4,
+    # the reference's double-sim eval reshapes slot-text sims to
+    # [n, B, B] (video_…py:175) — #texts must equal #videos
+    captions_per_image=1,
+)
+
+
+def ref_video_config(dims=VIDEO_DIMS) -> dict:
+    cfg = ref_config(dims)
+    cfg["vision_width"] = dims["frame_dim"]
+    cfg["vision_layer"] = dims["vision_layers"]
+    return cfg
+
+
+def build_reference_video_model(dims=VIDEO_DIMS, seed: int = 0):
+    """The reference video RetrievalModel with a tiny offline text tower.
+
+    The reference's video path needs two repairs even to import
+    (SURVEY.md §2b): models/__init__.py comments out the XVLMBase_video
+    export, and models/xvlm_video.py imports the absent models.box_ops.
+    Both are supplied here without touching the reference tree."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    _mkmod("models.box_ops")  # absent from the repo; only dead bbox losses use it
+    import models as ref_models
+    import models.xvlm_video as xv
+
+    def tiny_bert(config=None):
+        torch.manual_seed(seed + 2)
+        cfgb = BertConfig(
+            vocab_size=dims["vocab"], hidden_size=dims["text_h"],
+            num_hidden_layers=dims["text_layers"],
+            num_attention_heads=dims["text_heads"],
+            intermediate_size=dims["text_inter"],
+            max_position_embeddings=dims["max_pos"],
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            attn_implementation="eager")
+        return BertModel(cfgb), dims["text_h"]
+
+    xv.build_text_encoder = tiny_bert
+    ref_models.XVLMBase_video = xv.XVLMBase_video
+
+    from models.video_model_retrieval_caption import RetrievalModel
+
+    torch.manual_seed(seed)
+    model = RetrievalModel(ref_video_config(dims))
+    model.init_caption_encoder()
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0
+    return model
+
+
+def make_video_batches(dims=VIDEO_DIMS, seed: int = 321):
+    """Fixed video train batches + eval set (frame features + masks)."""
+    import numpy as np
+
+    train_batches, eval_data, rows = make_batches(dims, seed)
+    rs = np.random.RandomState(seed + 1)
+    B, T, Dv = dims["batch"], dims["frames"], dims["frame_dim"]
+    for b in train_batches:
+        b["vision"] = rs.randn(B, T, Dv).astype(np.float32)
+        mask = np.zeros((B, T), bool)
+        for i in range(B):
+            mask[i, : rs.randint(2, T + 1)] = True
+        b["vision_mask"] = mask
+    n = dims["eval_images"]
+    eval_data["vision"] = rs.randn(n, T, Dv).astype(np.float32)
+    mask = np.zeros((n, T), bool)
+    for i in range(n):
+        mask[i, : rs.randint(2, T + 1)] = True
+    eval_data["vision_mask"] = mask
+    return train_batches, eval_data, rows
+
+
 class TokBatch:
     def __init__(self, input_ids, attention_mask):
         self.input_ids = input_ids
