@@ -42,9 +42,12 @@ class _BertSelfAttention(nn.Module):
         q = split(dense("query")(hidden))
         k = split(dense("key")(hidden))
         v = split(dense("value")(hidden))
+        from leccr_tpu.ops.flash_attention import (fits_vmem,
+                                                    flash_tower_attention)
+
         if (cfg.fused_attention and not deterministic
-                and jax.default_backend() == "tpu"):
-            from leccr_tpu.ops.flash_attention import flash_tower_attention
+                and jax.default_backend() == "tpu"
+                and fits_vmem(cfg.num_heads, l, l, head_dim)):
 
             rate = 0.0 if deterministic else cfg.attention_dropout
             seed = 0

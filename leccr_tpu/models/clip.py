@@ -71,9 +71,12 @@ class _CLIPAttention(nn.Module):
             return t.reshape(b, l, self.heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        from leccr_tpu.ops.flash_attention import (fits_vmem,
+                                                    flash_tower_attention)
+
         if (self.fused and not self.causal and not deterministic
-                and jax.default_backend() == "tpu"):
-            from leccr_tpu.ops.flash_attention import flash_tower_attention
+                and jax.default_backend() == "tpu"
+                and fits_vmem(self.heads, l, l, head_dim)):
 
             out = flash_tower_attention(q, k, v, None, 0, 0.0)
         else:

@@ -31,6 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = float(jnp.finfo(jnp.float32).min)
 
+# single-block kernel: one program holds q/k/v + the [H, Lq, Lk] score,
+# prob and (bwd) dP tiles in VMEM.  ~16 MiB VMEM per core on v5e; leave
+# headroom for pipelining.
+_VMEM_BUDGET = 10 * 2 ** 20
+
+
+def fits_vmem(h: int, lq: int, lk: int, d: int) -> bool:
+    """Whether the single-block kernel's working set fits VMEM (the towers
+    fall back to the XLA attention otherwise — e.g. ViT-L/14 @336 has 577
+    tokens and a 21 MiB f32 score tile alone)."""
+    tiles = 3 * h * lq * lk * 4          # s/p + dP + keep (bwd worst case)
+    qkv = 3 * h * max(lq, lk) * d * 4
+    return tiles + qkv <= _VMEM_BUDGET
+
 
 def _keep_mask(seed_ref, h, lq, lk, rate, interpret):
     """Regenerable dropout keep-mask in {0, 1/(1-rate)} (f32).
