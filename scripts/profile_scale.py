@@ -51,6 +51,9 @@ def main():
     m.caption_interaction_layer = 2
     m.dtype = "bfloat16"
     m.remat = "--no-remat" not in sys.argv
+    if "--fused" in sys.argv:
+        m.text.fused_attention = True
+        m.vision.fused_attention = True  # falls back: 577 tokens > VMEM fit
     model = LECCRModel(m)
 
     rs = np.random.RandomState(0)
