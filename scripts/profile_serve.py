@@ -1,0 +1,92 @@
+"""Online-serving benchmark on the chip: text-query -> top-k image search
+latency/QPS against a device-resident image index (leccr_tpu/serve.py).
+
+The reference has no serving story (its eval loop is offline batch
+ranking); this measures the beyond-reference serving path at flagship
+scale: mBERT query embed + fused top-k against N indexed images.
+
+Usage: python scripts/profile_serve.py [n_index_images]
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
+
+import numpy as np
+
+from leccr_tpu.config import LECCRConfig
+from leccr_tpu.data.synthetic import make_image_dataset
+from leccr_tpu.serve import Embedder, ImageIndex
+
+N_IMG = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+VOCAB = 119547
+
+
+def main():
+    cfg = LECCRConfig()
+    cfg.model.dtype = "bfloat16"
+    model_cfg = cfg.model
+
+    # random-weight flagship towers (weights don't affect timings)
+    from leccr_tpu.models.leccr import LECCRModel
+
+    model = LECCRModel(model_cfg)
+    rs = np.random.RandomState(0)
+    width = 32
+    init_batch = {
+        "text_ids_s": rs.randint(1, VOCAB, (2, width)).astype(np.int32),
+        "text_mask_s": np.ones((2, width), np.int32),
+        "text_ids_t": rs.randint(1, VOCAB, (2, width)).astype(np.int32),
+        "text_mask_t": np.ones((2, width), np.int32),
+        "caption_ids": rs.randint(1, VOCAB, (2, width)).astype(np.int32),
+        "caption_mask": np.ones((2, width), np.int32),
+        "vision": rs.randint(0, 255, (2, cfg.model.vision.image_res,
+                                      cfg.model.vision.image_res, 3)
+                             ).astype(np.uint8),
+    }
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, init_batch)["params"]
+
+    # synthetic vocab file for the tokenizer (content immaterial to timing)
+    import tempfile
+
+    synth = make_image_dataset(tempfile.mkdtemp(), n_train=2, n_eval=2,
+                               image_res=64)
+    cfg.data.text_vocab = synth.text_vocab
+
+    emb = Embedder(cfg, params)
+    # synthetic pre-embedded index (the index build path itself is the
+    # bench.py image-embed measurement; here we measure query serving)
+    feats = rs.randn(N_IMG, cfg.model.embed_dim).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    index = ImageIndex(feats=jax.device_put(feats), slots=None,
+                       ids=[str(i) for i in range(N_IMG)])
+
+    queries = ["a dog runs across the grass"] * 8
+
+    # warm compiles
+    _ = emb.search_texts(queries[:1], index, k=10)
+    _ = emb.search_texts(queries, index, k=10)
+
+    t0 = time.time()
+    n = 50
+    for _ in range(n):
+        results = emb.search_texts(queries[:1], index, k=10)
+    lat = (time.time() - t0) / n
+    t0 = time.time()
+    for _ in range(n):
+        results = emb.search_texts(queries, index, k=10)
+    lat8 = (time.time() - t0) / n
+    assert len(results) == 8 and len(results[0]) == 10
+    print(f"index={N_IMG} images; single-query latency {lat*1000:.1f} ms "
+          f"({1/lat:.0f} QPS); batch-8 {lat8*1000:.1f} ms "
+          f"({8/lat8:.0f} QPS)")
+
+
+if __name__ == "__main__":
+    main()
