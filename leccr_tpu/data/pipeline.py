@@ -333,14 +333,29 @@ class EvalLoader:
         return slice(self.process_index * per, (self.process_index + 1) * per)
 
     def text_batches(self):
+        """Eval texts at a bucketed static width: the reference pads every
+        eval text to max_tokens (image_…py:104 'max_length' padding — 200
+        for Multi30K whose captions are ~30 tokens); here the whole split
+        is tokenized once and padded to the smallest token bucket covering
+        its longest sequence — one compile, ~6x less text-tower compute on
+        real data."""
         texts = self.dataset.texts
         loc = self._local_slice(self.text_batch_size)
+        ids_all, mask_all = self.tokenizer.encode(
+            list(texts), self.cfg.max_tokens)
+        longest = int(mask_all.sum(axis=1).max()) if len(texts) else 1
+        width = next((b for b in sorted(self.cfg.token_buckets)
+                      if b >= longest), self.cfg.max_tokens)
+        ids_all = ids_all[:, :width]
+        mask_all = mask_all[:, :width]
+        pad_rows = (-len(texts)) % self.text_batch_size
+        if pad_rows:
+            ids_all = np.pad(ids_all, ((0, pad_rows), (0, 0)))
+            mask_all = np.pad(mask_all, ((0, pad_rows), (0, 0)))
         for i in range(0, len(texts), self.text_batch_size):
-            chunk = texts[i: i + self.text_batch_size]
-            n = len(chunk)
-            chunk = (list(chunk) + [""] * (self.text_batch_size - n))[loc]
-            ids, mask = self.tokenizer.encode(chunk, self.cfg.max_tokens)
-            yield ids, mask, n
+            n = min(self.text_batch_size, len(texts) - i)
+            block = slice(i, i + self.text_batch_size)
+            yield ids_all[block][loc], mask_all[block][loc], n
 
     def image_batches(self):
         n = len(self.dataset)

@@ -232,11 +232,15 @@ def test_eval_loader_batches(tmp_path):
     tok = WordPieceTokenizer(cfg.text_vocab)
     loader = EvalLoader(ds, tok, cfg, batch_size=4, text_batch_size=4)
 
-    # text batches: fixed width (max_tokens), count marks the valid rows
+    # text batches: bucketed static width (smallest bucket covering the
+    # split's longest sequence), count marks the valid rows
     tb = list(loader.text_batches())
     assert sum(n for _, _, n in tb) == len(ds.texts) == 10
     ids, mask, n = tb[-1]
-    assert ids.shape == (4, cfg.max_tokens)
+    longest = max(int(m.sum(1).max()) for _, m, _ in tb)
+    width = next((b for b in sorted(cfg.token_buckets) if b >= longest),
+                 cfg.max_tokens)
+    assert ids.shape == (4, width)
     assert n == 10 - 2 * 4
 
     # image batches: padded to batch_size, counts sum to n images
