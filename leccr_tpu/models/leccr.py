@@ -104,13 +104,14 @@ class LECCRModel(nn.Module):
             self.caption_width = self.text_width
             self.clip_text_tower = None
         elif cfg.caption_encoder_name == "clip":
+            # the vendored CLIP's own text branch encodes the captions
+            # (model_retrieval_caption.py:57-63); its dims come from the
+            # variant's text fields — NOT the vision-tower overrides
             var = CLIP_VARIANTS[cfg.vision.variant]
-            width = cfg.vision.width or var.text_width
-            depth = cfg.vision.depth or var.text_layers
             self.clip_text_tower = CLIPTextTower(
-                width=width,
-                layers=depth,
-                heads=max(1, width // 64),
+                width=var.text_width,
+                layers=var.text_layers,
+                heads=var.text_heads,
                 embed_dim=self.vision_width,
                 vocab_size=var.vocab_size,
                 context_length=var.context_length,

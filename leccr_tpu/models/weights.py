@@ -173,6 +173,13 @@ def load_reference_checkpoint_into(
                                  target_grid=grid)
         g, b = _graft(params["vision_tower"], vis)
         print(f"### ref ckpt vision: {len(g)} tensors; issues: {b[:5]}")
+        if "clip_text_tower" in params:
+            # caption_encoder_name == "clip": the vendored CLIP text branch
+            # is the caption encoder (model_retrieval_caption.py:57-63)
+            txt = clip_text_params(clip_keys, var.text_layers)
+            g, b = _graft(params["clip_text_tower"], txt)
+            print(f"### ref ckpt clip text: {len(g)} tensors; "
+                  f"issues: {b[:5]}")
 
     bert_keys = {k[len("text_encoder."):]: v for k, v in sd.items()
                  if k.startswith("text_encoder.")}

@@ -188,12 +188,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--video", action="store_true")
+    ap.add_argument("--clip-caption", action="store_true")
     args_cli = ap.parse_args()
 
     rh.install_stubs()
     if args_cli.video:
         video_main(args_cli.out)
         return
+    clip_caption = args_cli.clip_caption
 
     import numpy as np
     import torch
@@ -211,7 +213,7 @@ def main() -> None:
     from optim import create_optimizer
     from scheduler import create_scheduler
 
-    dims = rh.DIMS
+    dims = rh.CLIP_CAPTION_DIMS if clip_caption else rh.DIMS
     config = rh.ref_config(dims)
     model = rh.build_reference_model(dims)
     model.train()
@@ -222,6 +224,18 @@ def main() -> None:
 
     train_batches, eval_data, rows = rh.make_batches(dims)
     tokenizer = rh.FakeTokenizer(rows)
+    if clip_caption:
+        clip_rows = rh.make_clip_caption_rows(
+            dims, rows, np.random.RandomState(77))
+        np.savez(os.path.join(out, "clip_rows.npz"), **clip_rows)
+
+        class FakeClipTokenizer:
+            def __call__(self, texts):
+                return torch.tensor(
+                    np.stack([clip_rows[t] for t in texts]),
+                    dtype=torch.long)
+
+        ref_entry.clip_tokenizer = FakeClipTokenizer()
 
     def make_opt_sched(m):
         opt = create_optimizer(
@@ -277,9 +291,12 @@ def main() -> None:
     ])
 
     # step-0 intermediate dump (pre-training): pinpoints which embedding
-    # diverges if the loss trajectories ever disagree
+    # diverges if the loss trajectories ever disagree (mbert mode only)
     b0 = train_batches[0]
+    if clip_caption:
+        b0 = None  # dump skipped: captions use the clip tokenizer
     with torch.no_grad():
+      if b0 is not None:
         img0 = to_image_tensor(b0["vision"])
         cap0 = tokenizer(b0["caption"])
         ts0 = tokenizer(b0["text_s"])

@@ -183,7 +183,7 @@ def ref_config(dims=DIMS) -> dict:
         "temp": 0.07,
         "max_tokens": dims["seq"],
         "use_one_cl_proj_only": False,
-        "caption_encoder_name": "mbert",
+        "caption_encoder_name": dims.get("caption_encoder", "mbert"),
         "generated_caption_type": "text",
         "num_queries": dims["n_queries"],
         "caption_ca_layer": dims["ca_layer"],
@@ -248,6 +248,33 @@ def build_reference_model(dims=DIMS, seed: int = 0):
         if isinstance(m, torch.nn.MultiheadAttention):
             m.dropout = 0.0
     return model
+
+
+CLIP_CAPTION_DIMS = dict(
+    DIMS,
+    caption_encoder="clip",
+    clip_ctx=16,    # tiny vendored-CLIP context_length
+    clip_vocab=64,  # tiny vendored-CLIP vocab; EOT = highest id per row
+)
+
+
+def make_clip_caption_rows(dims, rows, rs):
+    """Replace each batch's caption keys' rows with CLIP-token rows:
+    [tokens..., EOT(=vocab-1), 0-padding]; the vendored encode_text pools
+    at argmax(ids) (clip/model.py:348-365) and the pad id is 0."""
+    import numpy as np
+
+    ctx, vocab = dims["clip_ctx"], dims["clip_vocab"]
+    clip_rows = {}
+    for key in rows:
+        if not key.startswith(("cap", "ec")):
+            continue
+        length = int(rs.randint(3, ctx))  # leaves room for EOT
+        ids = np.zeros(ctx, np.int32)
+        ids[:length] = rs.randint(2, vocab - 1, length)
+        ids[length] = vocab - 1  # EOT
+        clip_rows[key] = ids
+    return clip_rows
 
 
 VIDEO_DIMS = dict(

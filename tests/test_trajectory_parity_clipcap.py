@@ -1,0 +1,212 @@
+"""Trajectory parity for the caption_encoder_name='clip' variant: the
+reference's vendored-CLIP text branch encodes the MLLM captions
+(model_retrieval_caption.py:57-63, train loop clip-tokenize branch
+image_Retrieval_caption.py:55-57).  No shipped reference config selects it,
+but the code path is live; this pins our CLIPTextTower (causal mask,
+argmax-EOT pooling, text_projection) and its reference-checkpoint
+conversion end to end against the actual reference trainer."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import reference_harness as rh
+from leccr_tpu.config import tiny_test_config
+
+LOSS_KEYS = ("loss_itc_vs", "loss_itc_vt", "loss_itc_st",
+             "loss_itc_c", "loss_reg_c")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(rh.REFERENCE_ROOT),
+    reason="reference checkout not available")
+
+
+@pytest.fixture(scope="module")
+def ref_results(tmp_path_factory):
+    out = tmp_path_factory.mktemp("refclip")
+    env = dict(os.environ, HF_HUB_OFFLINE="1")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "reference_driver.py"),
+         "--out", str(out), "--clip-caption"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert "REF_DRIVER_OK" in r.stdout, (
+        f"driver failed\n--- stdout:\n{r.stdout[-4000:]}"
+        f"\n--- stderr:\n{r.stderr[-4000:]}")
+    data = np.load(out / "ref_results.npz")
+    clip_rows = dict(np.load(out / "clip_rows.npz"))
+    itm = json.loads((out / "ref_itm.json").read_text())
+    return out, data, clip_rows, itm
+
+
+def _my_config(dims):
+    from leccr_tpu.models import clip as clip_mod
+
+    clip_mod.CLIP_VARIANTS["trajparity/8"] = clip_mod.CLIPVariant(
+        vision_width=dims["vision_width"],
+        vision_layers=dims["vision_layers"], vision_heads=1,
+        patch_size=dims["patch"], embed_dim=dims["vision_width"],
+        text_width=32, text_layers=1, text_heads=2,
+        vocab_size=dims["clip_vocab"], context_length=dims["clip_ctx"])
+
+    cfg = tiny_test_config()
+    m = cfg.model
+    m.vision.variant = "trajparity/8"
+    m.vision.width = dims["vision_width"]
+    m.vision.depth = dims["vision_layers"]
+    m.vision.image_res = dims["image_res"]
+    m.text.vocab_size = dims["vocab"]
+    m.text.hidden_size = dims["text_h"]
+    m.text.num_layers = dims["text_layers"]
+    m.text.num_heads = dims["text_heads"]
+    m.text.intermediate_size = dims["text_inter"]
+    m.text.max_position_embeddings = dims["max_pos"]
+    m.text.hidden_dropout = 0.0
+    m.text.attention_dropout = 0.0
+    m.embed_dim = dims["embed"]
+    m.num_queries = dims["n_queries"]
+    m.caption_ca_layer = dims["ca_layer"]
+    m.caption_interaction_layer = dims["interaction_layer"]
+    m.dropout = 0.0
+    m.temp = 0.07
+    m.caption_encoder_name = "clip"
+    m.weight_caption_loss = dims["w_caption"]
+    m.weight_reg_loss = dims["w_reg"]
+    m.weight_dstl_loss = dims["w_dstl"]
+    m.weight_cv_loss = dims["w_cv"]
+    return cfg
+
+
+def _stack(rows, keys, which):
+    return np.stack([rows[k][which] for k in keys])
+
+
+@pytest.fixture(scope="module")
+def my_results(ref_results):
+    from leccr_tpu.data.images import CLIP_MEAN, CLIP_STD
+    from leccr_tpu.models.leccr import LECCRModel
+    from leccr_tpu.models.losses import compute_losses
+    from leccr_tpu.models.weights import load_reference_checkpoint_into
+    from leccr_tpu.train.optim import build_optimizer
+    from leccr_tpu.train.schedule import linear_warmup_decay
+
+    out, _, clip_rows, _ = ref_results
+    dims = rh.CLIP_CAPTION_DIMS
+    cfg = _my_config(dims)
+    mc = cfg.model
+    model = LECCRModel(mc)
+
+    batches, eval_data, rows = rh.make_batches(dims)
+
+    def model_batch(b):
+        vis = ((b["vision"].astype(np.float32) / 255.0 - CLIP_MEAN)
+               / CLIP_STD)
+        return {
+            "vision": jnp.asarray(vis),
+            "text_ids_s": _stack(rows, b["text_s"], 0),
+            "text_mask_s": _stack(rows, b["text_s"], 1),
+            "text_ids_t": _stack(rows, b["text_t"], 0),
+            "text_mask_t": _stack(rows, b["text_t"], 1),
+            "caption_ids": np.stack([clip_rows[k] for k in b["caption"]]),
+        }
+
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        model_batch(batches[0]))["params"]
+    params = load_reference_checkpoint_into(
+        jax.tree.map(np.asarray, params), str(out / "ref_init.pth"), cfg)
+
+    cfg.train.optimizer.lr = dims["lr"]
+    cfg.train.optimizer.weight_decay = dims["weight_decay"]
+    cfg.train.optimizer.legacy_eps = True
+    schedule = linear_warmup_decay(dims["lr"], dims["steps"], dims["warmup"])
+    tx = build_optimizer(cfg.train.optimizer, params, schedule,
+                         frozen_paths=("clip_text_tower",))
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, batch, idx, rng):
+        def loss_fn(p):
+            emb = model.apply({"params": p}, batch, deterministic=False,
+                              rngs={"dropout": rng})
+            losses = compute_losses(
+                emb, idx, weight_caption_loss=mc.weight_caption_loss,
+                weight_reg_loss=mc.weight_reg_loss,
+                weight_dstl_loss=mc.weight_dstl_loss,
+                weight_cv_loss=mc.weight_cv_loss)
+            return losses["total"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, losses
+
+    jstep = jax.jit(step)
+    losses = []
+    for k, b in enumerate(batches):
+        params, opt_state, ls = jstep(
+            params, opt_state, model_batch(b),
+            jnp.asarray(b["idx"]), jax.random.PRNGKey(k))
+        losses.append([float(ls[key]) for key in LOSS_KEYS])
+    return model, params, np.array(losses), eval_data, rows, clip_rows
+
+
+def test_clipcap_loss_trajectory_matches_reference(ref_results, my_results):
+    _, data, _, _ = ref_results
+    _, _, losses, _, _, _ = my_results
+    ref = np.asarray(data["losses"])
+    assert ref.shape == losses.shape
+    np.testing.assert_allclose(losses[0], ref[0], atol=3e-4)
+    env = np.abs(np.asarray(data["losses_perturbed"]) - ref).max(axis=1)
+    tol = np.maximum(3e-4, 40.0 * env)
+    diff = np.abs(losses - ref).max(axis=1)
+    assert (diff <= tol).all(), (
+        f"\nper-step |mine-ref|: {diff}\nallowed: {tol}"
+        f"\nmine:\n{losses}\nref:\n{ref}")
+
+
+def test_clipcap_eval_matches_reference(ref_results, my_results):
+    from leccr_tpu.data.images import CLIP_MEAN, CLIP_STD
+    from leccr_tpu.eval.retrieval import (itm_metrics_from_ranks,
+                                          retrieval_ranks)
+
+    _, data, _, ref_itm = ref_results
+    model, params, _, eval_data, rows, clip_rows = my_results
+    dims = rh.CLIP_CAPTION_DIMS
+
+    vis = ((eval_data["vision"].astype(np.float32) / 255.0 - CLIP_MEAN)
+           / CLIP_STD)
+    cap_ids = np.stack([clip_rows[k] for k in eval_data["captions"]])
+
+    feats = []
+    eb = dims["eval_batch"]
+    for i in range(0, vis.shape[0], eb):
+        emb = model.apply(
+            {"params": params},
+            {"vision": vis[i:i + eb], "caption_ids": cap_ids[i:i + eb]},
+            method="embed_images")
+        feats.append(np.asarray(emb["feat"]))
+    img_embeds = np.concatenate(feats)
+
+    txt_embeds = np.asarray(model.apply(
+        {"params": params},
+        _stack(rows, eval_data["texts"], 0),
+        _stack(rows, eval_data["texts"], 1),
+        method="embed_texts"))
+
+    scores = img_embeds @ txt_embeds.T
+    np.testing.assert_allclose(scores, data["scores_i2t"],
+                               rtol=1e-3, atol=2e-3)
+
+    i2t, t2i = retrieval_ranks(img_embeds, txt_embeds,
+                               eval_data["txt2img"], eval_data["img2txt"])
+    mine = itm_metrics_from_ranks(i2t, t2i)
+    for key, want in ref_itm.items():
+        assert mine[key] == pytest.approx(want, abs=1e-9), (
+            key, mine[key], want)
