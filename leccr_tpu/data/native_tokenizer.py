@@ -23,6 +23,8 @@ def build_native(force: bool = False) -> Optional[Path]:
     if _LIB_PATH.exists() and not force:
         return _LIB_PATH
     try:
+        if force:
+            _LIB_PATH.unlink(missing_ok=True)  # make's mtime check is not enough
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
                        capture_output=True)
     except (OSError, subprocess.CalledProcessError):
@@ -33,6 +35,16 @@ def build_native(force: bool = False) -> Optional[Path]:
 _lib = None
 
 
+_ABI_VERSION = 2  # must match wp_abi_version() in native/wordpiece.cpp
+
+
+def _abi_ok(lib) -> bool:
+    try:
+        return int(lib.wp_abi_version()) == _ABI_VERSION
+    except AttributeError:
+        return False  # pre-versioning build
+
+
 def _load():
     global _lib
     if _lib is not None:
@@ -41,6 +53,15 @@ def _load():
     if path is None:
         return None
     lib = ctypes.CDLL(str(path))
+    if not _abi_ok(lib):
+        # stale .so from an older source tree (the wp_create flags-word
+        # change would be silently misread) — rebuild from source
+        path = build_native(force=True)
+        if path is None:
+            return None
+        lib = ctypes.CDLL(str(path))
+        if not _abi_ok(lib):
+            return None
     lib.wp_create.restype = ctypes.c_void_p
     lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.wp_destroy.argtypes = [ctypes.c_void_p]

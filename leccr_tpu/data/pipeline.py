@@ -170,12 +170,18 @@ class TrainLoader:
         per = len(self.dataset) // (self.local_batch * self.process_count)
         return per
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int,
+              start_step: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """start_step skips the epoch's first batches (exact mid-epoch
+        resume: the skipped batches were already consumed before the
+        snapshot; the permutation is deterministic per epoch)."""
         idxs = shard_indices(
             len(self.dataset), epoch, self.cfg.seed, self.process_count,
             self.process_index, shuffle=True, drop_last=True)
         nb = len(idxs) // self.local_batch
         idxs = idxs[: nb * self.local_batch].reshape(nb, self.local_batch)
+        if start_step:
+            idxs = idxs[start_step:]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -341,13 +347,21 @@ class EvalLoader:
         real data."""
         texts = self.dataset.texts
         loc = self._local_slice(self.text_batch_size)
-        ids_all, mask_all = self.tokenizer.encode(
-            list(texts), self.cfg.max_tokens)
-        longest = int(mask_all.sum(axis=1).max()) if len(texts) else 1
-        width = next((b for b in sorted(self.cfg.token_buckets)
-                      if b >= longest), self.cfg.max_tokens)
-        ids_all = ids_all[:, :width]
-        mask_all = mask_all[:, :width]
+        # the split is fixed: tokenize it once and cache on the dataset
+        # (every process needs the full split anyway — the bucketed width
+        # must be agreed globally for host_local_to_global batches)
+        cache = getattr(self.dataset, "_tok_cache", None)
+        if cache is None:
+            ids_all, mask_all = self.tokenizer.encode(
+                list(texts), self.cfg.max_tokens)
+            longest = int(mask_all.sum(axis=1).max()) if len(texts) else 1
+            width = next((b for b in sorted(self.cfg.token_buckets)
+                          if b >= longest), self.cfg.max_tokens)
+            ids_all = ids_all[:, :width]
+            mask_all = mask_all[:, :width]
+            self.dataset._tok_cache = (ids_all, mask_all)
+        else:
+            ids_all, mask_all = cache
         pad_rows = (-len(texts)) % self.text_batch_size
         if pad_rows:
             ids_all = np.pad(ids_all, ((0, pad_rows), (0, 0)))

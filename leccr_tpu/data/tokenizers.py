@@ -193,17 +193,19 @@ def _bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-# the canonical CLIP word-split pattern (reference
-# clip/simple_tokenizer.py:78) needs real Unicode categories: \p{L} must
-# NOT swallow CJK punctuation/symbols or non-ASCII digits.  The `regex`
-# module (a transformers dependency, always present) provides them.
-import regex as _regex  # noqa: E402
+def _clip_pattern():
+    r"""The canonical CLIP word-split pattern (reference
+    clip/simple_tokenizer.py:78) needs real Unicode categories: \p{L} must
+    NOT swallow CJK punctuation/symbols or non-ASCII digits.  The `regex`
+    module provides them; imported lazily so the WordPiece/unigram paths
+    don't require it."""
+    import regex as _regex
 
-_CLIP_PAT = _regex.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
-    _regex.IGNORECASE,
-)
+    return _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
 
 
 class ClipBPETokenizer:
@@ -273,8 +275,10 @@ class ClipBPETokenizer:
         return out
 
     def tokenize(self, text: str) -> List[int]:
+        if not hasattr(self, "_pat"):
+            self._pat = _clip_pattern()
         ids: List[int] = []
-        for tok in _CLIP_PAT.findall(self._clean(text)):
+        for tok in self._pat.findall(self._clean(text)):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[p] for p in self._bpe(tok).split(" "))
         return ids

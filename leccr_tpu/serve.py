@@ -182,8 +182,11 @@ class Embedder:
         k = min(k, index.feats.shape[0])
         n = len(queries)
         if n <= self.batch_size:
+            # pad to batch_size: ONE static shape -> one compiled program
+            # regardless of the incoming query count
+            chunk = list(queries) + [""] * (self.batch_size - n)
             ids, mask = self.tokenizer.encode(
-                list(queries), self.cfg.data.max_tokens)
+                chunk, self.cfg.data.max_tokens)
             scores, idxs = self._embed_and_topk(
                 self.params, ids, mask, index.feats, k)
             scores, idxs = np.asarray(scores)[:n], np.asarray(idxs)[:n]

@@ -172,8 +172,10 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
 
         self.state = self._init_state()
-        # id(dataset) -> [(device batch, count)], see evaluate()
+        # id(dataset) -> [(device batch, count)], see evaluate(); the
+        # cache_eval_on_device_mb budget is GLOBAL across splits
         self._eval_device_cache: Dict[int, list] = {}
+        self._eval_cache_bytes = 0
         self.ckpt = CheckpointManager(cfg.output_dir, cfg.train.keep_checkpoints)
         self.logger = JSONLLogger(cfg.output_dir, enabled=self.is_main)
         self._train_step = self._make_train_step()
@@ -337,7 +339,7 @@ class Trainer:
 
     # ----------------------------------------------------------- epochs
 
-    def train_epoch(self, epoch: int) -> Dict[str, str]:
+    def train_epoch(self, epoch: int, skip_steps: int = 0) -> Dict[str, str]:
         logger = MetricLogger(print_fn=print if self.is_main else lambda *_: 0)
         logger.add_meter("lr", SmoothedValue(1, "{value:.6f}"))
         for key in LOSS_KEYS:
@@ -364,9 +366,11 @@ class Trainer:
 
         log_every = self.cfg.train.log_every
         batches = device_prefetch(
-            self.train_loader.epoch(epoch), data_sharding, depth=2)
+            self.train_loader.epoch(epoch, start_step=skip_steps),
+            data_sharding, depth=2)
         for i, batch in enumerate(logger.log_every(
-                batches, log_every, header, total=self.steps_per_epoch)):
+                batches, log_every, header,
+                total=self.steps_per_epoch - skip_steps)):
             params, opt_state, losses = self._train_step(
                 self.state.params, self.state.opt_state, batch,
                 np.int32(self.state.step))
@@ -378,15 +382,16 @@ class Trainer:
                 drain()
             every = self.cfg.train.checkpoint_every_steps
             if (every > 0 and self.state.step % every == 0
-                    and i + 1 < self.steps_per_epoch):
+                    and self.state.step % self.steps_per_epoch != 0):
                 # (the epoch's final step is excluded: fit()'s end-of-epoch
-                # save owns that step number and carries the right epoch)
-                # preemption-safe mid-epoch snapshot (async; resume restarts
-                # from the owning epoch boundary).  Called on ALL processes:
-                # orbax saves are collective over the global arrays (the
-                # primary host coordinates the writes).
+                # save owns that step number)
+                # preemption-safe mid-epoch snapshot (async; resume derives
+                # epoch + batch position from the step counter and skips
+                # the consumed batches).  Called on ALL processes: orbax
+                # saves are collective over the global arrays (the primary
+                # host coordinates the writes).
                 self.ckpt.save(self.state.step, self.state.params,
-                               self.state.opt_state, epoch=epoch - 1)
+                               self.state.opt_state, epoch=epoch)
         drain()
         if self.is_main:
             print("Averaged stats:", logger)
@@ -474,8 +479,9 @@ class Trainer:
             img_slots.append(out["slots"][:count])
         if collected is not None:
             nbytes = sum(v.nbytes for b, _ in collected for v in b.values())
-            if nbytes <= cache_mb * 2 ** 20:
+            if self._eval_cache_bytes + nbytes <= cache_mb * 2 ** 20:
                 self._eval_device_cache[id(dataset)] = collected
+                self._eval_cache_bytes += nbytes
         img_feats = jnp.concatenate(img_feats, axis=0)
         img_slots = jnp.concatenate(img_slots, axis=0)
 
@@ -499,6 +505,7 @@ class Trainer:
     def fit(self, evaluate_only: bool = False) -> Dict[str, float]:
         cfg = self.cfg
         start_epoch = 0
+        resume_skip = 0
         best, best_epoch = 0.0, 0
         if cfg.train.resume and self.ckpt.latest_step() is not None:
             abstract = {
@@ -507,28 +514,31 @@ class Trainer:
                 "meta": {"step": 0, "epoch": 0},
             }
             params, opt_state, meta = self.ckpt.restore(abstract)
-            start_epoch = int(meta["epoch"]) + 1
-            # mid-epoch snapshots carry a mid-epoch step counter while the
-            # owning epoch replays from its start — pin step to the epoch
-            # boundary so the LR schedule and the epoch counter stay in
-            # phase (no-op for end-of-epoch checkpoints, whose step already
-            # equals start_epoch * steps_per_epoch)
-            self.state = TrainState(
-                params, opt_state, start_epoch * self.steps_per_epoch)
+            step = int(meta["step"])
+            # EXACT resume: epoch and in-epoch batch position both derive
+            # from the step counter (steps count monotonically; the
+            # per-epoch permutation is deterministic), so the optimizer's
+            # internal schedule count, the epoch loop, and the data stream
+            # stay consistent — mid-epoch snapshots resume where they left
+            # off instead of replaying the epoch
+            self.state = TrainState(params, opt_state, step)
+            start_epoch, resume_skip = divmod(step, self.steps_per_epoch)
             info = self.ckpt.best_info()
             if info:
                 best = info.get("metrics", {}).get("sumr_sum", 0.0)
                 best_epoch = info.get("epoch", 0)
             if self.is_main:
-                print(f"### resumed from step {self.state.step}, "
-                      f"epoch {start_epoch}")
+                print(f"### resumed from step {step}, epoch {start_epoch}"
+                      + (f" (skipping {resume_skip} consumed batches)"
+                         if resume_skip else ""))
 
         max_epoch = cfg.train.schedular.epochs
         last_stats: Dict[str, float] = {}
         for epoch in range(start_epoch, max_epoch):
             log_stats: Dict[str, Any] = {"epoch": epoch}
             if not evaluate_only:
-                train_stats = self.train_epoch(epoch)
+                skip = resume_skip if epoch == start_epoch else 0
+                train_stats = self.train_epoch(epoch, skip_steps=skip)
                 log_stats.update(
                     {f"train_{k}": v for k, v in train_stats.items()})
 

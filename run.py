@@ -99,7 +99,7 @@ def main():
     if args.devices > 0:
         import jax
 
-        devices = jax.devices()[: args.devices]
+        devices = jax.local_devices()[: args.devices]
     trainer = Trainer(cfg, devices=devices)
     if args.checkpoint and args.checkpoint != "null":
         from leccr_tpu.models.weights import load_initial_checkpoint

@@ -370,6 +370,56 @@ def test_resume_continues_training(tmp_path):
     assert len(log) >= 3
 
 
+def test_resume_mid_epoch_exact(tmp_path):
+    """Resuming from a MID-epoch snapshot continues at the exact batch
+    position: no epoch replay, the optimizer's internal schedule count and
+    the step counter agree, and the total step count lands exactly."""
+    from leccr_tpu.train.trainer import Trainer
+
+    def make_cfg():
+        cfg = tiny_test_config()
+        cfg.output_dir = str(tmp_path)
+        cfg.data.dataset = "synthetic"
+        cfg.data.synthetic_size = 16
+        cfg.data.synthetic_eval_images = 4
+        cfg.train.batch_size_train = 8
+        cfg.train.batch_size_test = 4
+        cfg.train.batch_size_test_text = 8
+        cfg.train.schedular.epochs = 2
+        cfg.parallel.data = 1
+        return cfg
+
+    tr1 = Trainer(make_cfg(), devices=jax.devices()[:1])
+    spe = tr1.steps_per_epoch
+    assert spe >= 4
+    tr1.train_epoch(0)
+    # consume 2 batches of epoch 1 through the real step, then "preempt"
+    import numpy as _np
+
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    from leccr_tpu.data.pipeline import device_prefetch
+    sharding = NamedSharding(tr1.mesh, _P("data"))
+    it = device_prefetch(tr1.train_loader.epoch(1), sharding, depth=1)
+    for _ in range(2):
+        batch = next(it)
+        p, o, _ls = tr1._train_step(tr1.state.params, tr1.state.opt_state,
+                                    batch, _np.int32(tr1.state.step))
+        tr1.state = type(tr1.state)(p, o, tr1.state.step + 1)
+    del it
+    mid_step = tr1.state.step
+    assert mid_step == spe + 2
+    tr1.ckpt.save(mid_step, tr1.state.params, tr1.state.opt_state, epoch=1)
+    tr1.ckpt.wait()
+
+    cfg2 = make_cfg()
+    cfg2.train.resume = True
+    tr2 = Trainer(cfg2, devices=jax.devices()[:1])
+    tr2.fit()
+    # epoch 1 completed from batch 2 (no replay): exactly 2*spe total steps
+    assert tr2.state.step == 2 * spe
+
+
 def test_lr_mult_scales_updates():
     """A configured lr_mult path really gets lr x mult (VERDICT r1 #6):
     with identical grads and fresh Adam moments, the update magnitude of a
