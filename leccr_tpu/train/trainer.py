@@ -523,6 +523,18 @@ class Trainer:
             # off instead of replaying the epoch
             self.state = TrainState(params, opt_state, step)
             start_epoch, resume_skip = divmod(step, self.steps_per_epoch)
+            meta_epoch = int(meta["epoch"])
+            if start_epoch not in (meta_epoch, meta_epoch + 1):
+                # steps_per_epoch changed between runs (dataset/batch-size
+                # config drift): the derived batch position is meaningless,
+                # fall back to an epoch-boundary restart
+                if self.is_main:
+                    print("### WARNING: steps_per_epoch changed since the "
+                          "checkpoint; restarting from the next epoch "
+                          "boundary instead of the exact batch")
+                start_epoch, resume_skip = meta_epoch + 1, 0
+                self.state = TrainState(
+                    params, opt_state, start_epoch * self.steps_per_epoch)
             info = self.ckpt.best_info()
             if info:
                 best = info.get("metrics", {}).get("sumr_sum", 0.0)
