@@ -84,6 +84,12 @@ def test_from_checkpoint_random_init(tmp_path):
     hits = emb.search_texts(["man rides"], index, k=2)
     assert len(hits[0]) == 2
 
+    # the fast path pads to batch_size: varying query counts must reuse ONE
+    # compiled program (each recompile would sit on the latency path)
+    emb.search_texts(["a"], index, k=2)
+    emb.search_texts(["a", "b"], index, k=2)
+    assert emb._embed_and_topk._cache_size() == 1
+
 
 def test_profiling_utils(tmp_path):
     from leccr_tpu.utils.profiling import step_timer, trace_context
