@@ -233,8 +233,12 @@ def test_eval_loader_batches(tmp_path):
     loader = EvalLoader(ds, tok, cfg, batch_size=4, text_batch_size=4)
 
     # text batches: bucketed static width (smallest bucket covering the
-    # split's longest sequence), count marks the valid rows
+    # split's longest sequence), count marks the valid rows; the split
+    # tokenization is computed once and cached on the dataset
     tb = list(loader.text_batches())
+    assert hasattr(ds, "_tok_cache")
+    tb_again = list(loader.text_batches())
+    np.testing.assert_array_equal(tb[0][0], tb_again[0][0])
     assert sum(n for _, _, n in tb) == len(ds.texts) == 10
     ids, mask, n = tb[-1]
     longest = max(int(m.sum(1).max()) for _, m, _ in tb)

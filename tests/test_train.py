@@ -47,6 +47,15 @@ def test_eval_device_cache_reused_and_equal(trainer):
     second = trainer.evaluate(ds)
     assert first == second
 
+    # the budget is GLOBAL: once exhausted, further splits don't cache
+    trainer._eval_cache_bytes = (
+        trainer.cfg.data.cache_eval_on_device_mb * 2 ** 20)
+    other = trainer.val_ds[lang]
+    trainer.evaluate(other)
+    assert id(other) not in trainer._eval_device_cache
+    trainer._eval_cache_bytes = sum(
+        v.nbytes for b, _ in cached_batches for v in b.values())
+
 
 def test_train_two_epochs_loss_decreases_and_ckpt(trainer):
     losses = []
