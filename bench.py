@@ -1,5 +1,8 @@
 #!/usr/bin/env python3
-"""Headline benchmark: full Multi30K-scale retrieval eval on one chip.
+"""Headline benchmarks on one chip: flagship train-step throughput
+(BASELINE.json's primary "image-text pairs/sec/chip" metric, bs128 fused)
+plus the full Multi30K-scale retrieval eval.  One JSON line carries both
+(train is the primary record; eval rides in the `eval` field).
 
 Measures the evaluation pass the reference times per epoch
 (image_Retrieval_caption.py:83-163): embed 5 000 texts (mBERT-base, padded to
@@ -190,12 +193,155 @@ def jax_eval_time(quick: bool = False) -> float:
     return elapsed, cached
 
 
+def jax_train_time(quick: bool = False):
+    """Steady-state train-step wall on one chip: flagship Multi30K config
+    (ViT-B/32 @ 384² + mBERT-base, bs128, fused flash attention,
+    device-resident batch — the regime the trainer's async prefetch
+    achieves).  Returns (bs, sec/step) — the BASELINE.json primary metric
+    "image-text pairs/sec/chip" is bs / sec_per_step."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp  # noqa: F401
+
+    from leccr_tpu.config import LECCRConfig
+    from leccr_tpu.data.images import preprocess_train_images
+    from leccr_tpu.models.leccr import LECCRModel
+    from leccr_tpu.models.losses import compute_losses
+    from leccr_tpu.train.optim import build_optimizer
+    from leccr_tpu.train.schedule import linear_warmup_decay
+
+    bs = 32 if quick else 128
+    width = 64  # flagship token bucket (Multi30K captions bucket to 64)
+
+    cfg = LECCRConfig()
+    cfg.model.vision.image_res = IMAGE_RES
+    cfg.model.dtype = "bfloat16"
+    cfg.model.text.fused_attention = True
+    cfg.model.vision.fused_attention = True
+    model = LECCRModel(cfg.model)
+    mc = cfg.model
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "vision": rs.randint(0, 255, (bs, IMAGE_RES, IMAGE_RES, 3)
+                             ).astype(np.uint8),
+        "flip": rs.rand(bs) < 0.5,
+        "text_ids_s": rs.randint(1, VOCAB, (bs, width)).astype(np.int32),
+        "text_mask_s": np.ones((bs, width), np.int32),
+        "text_ids_t": rs.randint(1, VOCAB, (bs, width)).astype(np.int32),
+        "text_mask_t": np.ones((bs, width), np.int32),
+        "caption_ids": rs.randint(1, VOCAB, (bs, width)).astype(np.int32),
+        "caption_mask": np.ones((bs, width), np.int32),
+        "idx": np.arange(bs, dtype=np.int32),
+    }
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {k: v for k, v in batch.items() if k not in ("idx", "flip")})["params"]
+    sched = linear_warmup_decay(1e-5, 10000, 0.1)
+    tx = build_optimizer(cfg.train.optimizer, params, sched)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, batch, rng):
+        import optax
+
+        idx = batch.pop("idx")
+        flip = batch.pop("flip")
+
+        def loss_fn(p):
+            mb = dict(batch)
+            mb["vision"] = preprocess_train_images(mb["vision"], flip)
+            emb = model.apply({"params": p}, mb, deterministic=False,
+                              rngs={"dropout": rng})
+            losses = compute_losses(
+                emb, idx, weight_caption_loss=mc.weight_caption_loss,
+                weight_reg_loss=mc.weight_reg_loss,
+                weight_dstl_loss=mc.weight_dstl_loss,
+                weight_cv_loss=mc.weight_cv_loss)
+            return losses["total"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, losses
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    rng = jax.random.key(0, impl=cfg.train.rng_impl)
+    dev_batch = jax.device_put(dict(batch))
+    params, opt_state, losses = jstep(params, opt_state, dict(dev_batch), rng)
+    _ = float(losses["total"])  # value fetch = real barrier over the tunnel
+    n = 5 if quick else 10
+    t0 = time.time()
+    for i in range(n):
+        params, opt_state, losses = jstep(params, opt_state, dict(dev_batch),
+                                          jax.random.fold_in(rng, i))
+    _ = float(losses["total"])
+    return bs, (time.time() - t0) / n
+
+
+def torch_train_baseline(calib_bs: int = 8, calib_steps: int = 2) -> float:
+    """Reference-equivalent train step on torch CPU (HF towers, contrastive
+    loss, backward + AdamW), measured at a small calibration batch and
+    extrapolated linearly to sec/pair.  Cached in bench_baseline.json."""
+    cache = Path(__file__).parent / "bench_baseline.json"
+    data = json.loads(cache.read_text()) if cache.exists() else {}
+    if "torch_cpu_train_s_per_pair" in data:
+        return data["torch_cpu_train_s_per_pair"]
+
+    import torch
+    from transformers import BertConfig, BertModel, CLIPVisionConfig, \
+        CLIPVisionModel
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    bert = BertModel(BertConfig())
+    vis = CLIPVisionModel(CLIPVisionConfig(image_size=IMAGE_RES))
+    proj_t = torch.nn.Linear(768, 256)
+    proj_v = torch.nn.Linear(768, 256)
+    params = (list(bert.parameters()) + list(vis.parameters())
+              + list(proj_t.parameters()) + list(proj_v.parameters()))
+    opt = torch.optim.AdamW(params, lr=1e-5)
+
+    ids = torch.randint(1, 30000, (calib_bs, 64))
+    mask = torch.ones(calib_bs, 64, dtype=torch.long)
+    imgs = torch.randn(calib_bs, 3, IMAGE_RES, IMAGE_RES)
+
+    def one_step():
+        opt.zero_grad()
+        # reference step: text tower x2 (src/trg languages) + caption pass
+        # + vision tower, InfoNCE-style loss, backward, AdamW
+        t_s = proj_t(bert(ids, attention_mask=mask).last_hidden_state[:, 0])
+        t_t = proj_t(bert(ids, attention_mask=mask).last_hidden_state[:, 0])
+        c = proj_t(bert(ids, attention_mask=mask).last_hidden_state[:, 0])
+        v = proj_v(vis(imgs).last_hidden_state[:, 0])
+        sim = (v @ t_s.T) / 0.07
+        labels = torch.arange(calib_bs)
+        loss = (torch.nn.functional.cross_entropy(sim, labels)
+                + torch.nn.functional.cross_entropy(v @ t_t.T / 0.07, labels)
+                + torch.nn.functional.mse_loss(c, v.detach()))
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    t0 = time.time()
+    for _ in range(calib_steps):
+        one_step()
+    per_pair = (time.time() - t0) / calib_steps / calib_bs
+    data["torch_cpu_train_s_per_pair"] = per_pair
+    data.setdefault("note_train",
+                    "reference-equivalent train step, torch CPU, "
+                    f"calibrated at bs={calib_bs}")
+    cache.write_text(json.dumps(data, indent=2))
+    return per_pair
+
+
 def torch_baseline_time(calib_img: int = 20, calib_txt: int = 100) -> float:
     """Reference-equivalent eval on torch CPU over a calibration slice,
     extrapolated to full Multi30K scale.  Cached in bench_baseline.json."""
     cache = Path(__file__).parent / "bench_baseline.json"
     if cache.exists():
-        return json.loads(cache.read_text())["torch_cpu_eval_s"]
+        cached = json.loads(cache.read_text())
+        if "torch_cpu_eval_s" in cached:
+            return cached["torch_cpu_eval_s"]
 
     import torch
     from transformers import BertConfig, BertModel, CLIPVisionConfig, \
@@ -232,11 +378,12 @@ def torch_baseline_time(calib_img: int = 20, calib_txt: int = 100) -> float:
 
     total = (txt_t * (N_TXT / calib_txt) + img_t * (N_IMG / calib_img)
              + rank_t)
-    cache.write_text(json.dumps({
-        "torch_cpu_eval_s": total,
-        "note": "reference-equivalent eval, torch CPU, extrapolated from "
-                f"({calib_img} img, {calib_txt} txt) calibration slice",
-    }, indent=2))
+    data = json.loads(cache.read_text()) if cache.exists() else {}
+    data["torch_cpu_eval_s"] = total
+    data["note"] = ("reference-equivalent eval, torch CPU, extrapolated "
+                    f"from ({calib_img} img, {calib_txt} txt) calibration "
+                    "slice")
+    cache.write_text(json.dumps(data, indent=2))
     return total
 
 
@@ -245,6 +392,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="1/10 scale (still extrapolated in the metric)")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="eval metric only (skip the train-step timing)")
     args = ap.parse_args()
 
     t_e2e, t_jax = jax_eval_time(quick=args.quick)
@@ -253,24 +402,50 @@ def main():
         t_e2e, t_jax = t_e2e * 10.0, t_jax * 10.0
     pairs_per_s = (N_IMG * N_TXT) / t_jax
 
-    if args.skip_baseline:
-        t_base = None
-    else:
+    train_bs = train_dt = None
+    if not args.skip_train:
+        try:
+            train_bs, train_dt = jax_train_time(quick=args.quick)
+        except Exception as exc:  # noqa: BLE001
+            print(f"train timing failed: {exc}", file=sys.stderr)
+
+    t_base = train_base = None
+    if not args.skip_baseline:
         try:
             t_base = torch_baseline_time()
         except Exception as exc:  # noqa: BLE001
             print(f"baseline failed: {exc}", file=sys.stderr)
-            t_base = None
+        if train_dt is not None:
+            try:
+                train_base = torch_train_baseline()
+            except Exception as exc:  # noqa: BLE001
+                print(f"train baseline failed: {exc}", file=sys.stderr)
 
-    vs = (t_base / t_jax) if t_base else 0.0
-    print(json.dumps({
+    # ONE JSON line.  Primary metric = BASELINE.json's first tracked metric
+    # (train image-text pairs/sec/chip); the eval headline rides along in
+    # `eval` so both numbers land in BENCH_r*.json.
+    eval_rec = {
         "metric": "multi30k_full_eval_pairs_per_sec_per_chip",
         "value": round(pairs_per_s, 1),
         "unit": f"img-txt pairs/s steady-state (per-epoch eval wall "
                 f"{t_jax:.2f}s with the eval set HBM-resident as the "
                 f"trainer keeps it; {t_e2e:.2f}s end-to-end incl. the "
                 f"one-time upload; {N_IMG}x{N_TXT})",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(t_base / t_jax, 2) if t_base else 0.0,
+    }
+    if train_dt is None:
+        print(json.dumps(eval_rec))
+        return
+    train_pairs = train_bs / train_dt
+    vs_train = (train_base / (train_dt / train_bs)) if train_base else 0.0
+    print(json.dumps({
+        "metric": "train_pairs_per_sec_per_chip",
+        "value": round(train_pairs, 1),
+        "unit": f"image-text pairs/s/chip training steady-state (flagship "
+                f"ViT-B/32@384+mBERT, bs{train_bs} fused flash attention, "
+                f"device-resident batch, {train_dt*1000:.1f} ms/step)",
+        "vs_baseline": round(vs_train, 2),
+        "eval": eval_rec,
     }))
 
 

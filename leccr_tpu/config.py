@@ -283,6 +283,11 @@ class LECCRConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     output_dir: str = "output"
+    # set when the user passed an hdfs:// output dir: output_dir becomes a
+    # local staging dir and the trainer mirrors checkpoints + log.txt +
+    # config.json up after every checkpointed epoch (reference
+    # utils/torch_io.py:15-31 + utils/checkpointer.py:20-46 flow)
+    remote_output_dir: str = ""
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

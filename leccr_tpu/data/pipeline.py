@@ -375,6 +375,14 @@ class EvalLoader:
         n = len(self.dataset)
         cap_bpe = not hasattr(self.caption_tokenizer, "cls_id")
         loc = self._local_slice(self.batch_size)
+        feats_width = 0
+        if self.cfg.generated_caption_type == "feats":
+            # dataset-global width: computed ONCE (it is an O(N) scan over
+            # every generated feat) so batches keep static shapes without
+            # re-scanning per batch
+            feats_width = max(
+                np.asarray(v).shape[0]
+                for v in self.dataset.generated.values())
         with ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, n, self.batch_size):
                 stop = min(start + self.batch_size, n)
@@ -391,9 +399,7 @@ class EvalLoader:
                 else:
                     batch["vision"] = np.stack(vision)
                 if self.cfg.generated_caption_type == "feats":
-                    # dataset-global width + true feat dim: static shapes
-                    all_feats = self.dataset.generated.values()
-                    t = max(np.asarray(v).shape[0] for v in all_feats)
+                    t = feats_width
                     d = np.asarray(caps[0]).shape[1]
                     arr = np.zeros((len(caps), t, d), np.float32)
                     msk = np.zeros((len(caps), t), np.int32)

@@ -42,13 +42,12 @@ class _BertSelfAttention(nn.Module):
         q = split(dense("query")(hidden))
         k = split(dense("key")(hidden))
         v = split(dense("value")(hidden))
-        from leccr_tpu.ops.flash_attention import (fits_vmem,
-                                                    flash_tower_attention)
+        from leccr_tpu.ops.flash_attention import flash_tower_attention
 
+        # no fits_vmem gate: flash_tower_attention dispatches internally to
+        # the Lk-tiled kernel past the single-block VMEM limit
         if (cfg.fused_attention and not deterministic
-                and jax.default_backend() == "tpu"
-                and fits_vmem(cfg.num_heads, l, l, head_dim)):
-
+                and jax.default_backend() == "tpu"):
             rate = 0.0 if deterministic else cfg.attention_dropout
             seed = 0
             if rate > 0.0:

@@ -71,13 +71,12 @@ class _CLIPAttention(nn.Module):
             return t.reshape(b, l, self.heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        from leccr_tpu.ops.flash_attention import (fits_vmem,
-                                                    flash_tower_attention)
+        from leccr_tpu.ops.flash_attention import flash_tower_attention
 
+        # no fits_vmem gate: flash_tower_attention dispatches internally to
+        # the Lk-tiled kernel past the single-block VMEM limit (ViT-L@336)
         if (self.fused and not self.causal and not deterministic
-                and jax.default_backend() == "tpu"
-                and fits_vmem(self.heads, l, l, head_dim)):
-
+                and jax.default_backend() == "tpu"):
             out = flash_tower_attention(q, k, v, None, 0, 0.0)
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(

@@ -75,8 +75,14 @@ def load_openai_clip_into(params: Dict[str, Any], clip_path: str,
 
 def load_hf_bert_into(params: Dict[str, Any], bert_path: str,
                       cfg: LECCRConfig) -> Dict[str, Any]:
-    """Load a HF BertModel checkpoint (pytorch_model.bin / dir) into the
-    text tower."""
+    """Load a HF BERT-family checkpoint (pytorch_model.bin / dir) into the
+    text tower.  Covers BertModel ("bert." or bare prefix) AND
+    RobertaModel/XLMRobertaModel ("roberta." or bare prefix, e.g.
+    xlm-roberta-base/large — the text tower of the XLM-R BASELINE configs;
+    reference models/xvlm.py:91-103).  The RoBERTa position-id offset
+    (padding_idx=1, 514-row table) is an architecture property handled by
+    TextConfig(kind="xlmr") in models/bert.py:143-148; the weight layout
+    is identical to BERT's."""
     path = Path(bert_path)
     if path.is_dir():
         cands = list(path.glob("pytorch_model*.bin")) + list(
@@ -89,7 +95,8 @@ def load_hf_bert_into(params: Dict[str, Any], bert_path: str,
         sd = load_file(str(path))
     else:
         sd = load_torch_state_dict(str(path))
-    prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    prefix = next((p for p in ("bert.", "roberta.")
+                   if any(k.startswith(p) for k in sd)), "")
     converted = bert_params(sd, cfg.model.text.num_layers, prefix)
     import jax
 

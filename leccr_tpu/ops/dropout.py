@@ -30,9 +30,13 @@ class LeanDropout(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         if deterministic or self.rate == 0.0:
             return x
+        if self.rate >= 1.0:
+            # degenerate rate: drop everything (nn.Dropout semantics) —
+            # the u16 threshold would otherwise wrap 65536 -> 0 and keep all
+            return jnp.zeros_like(x)
         keep_prob = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        thresh = int(round(self.rate * 65536.0))
+        thresh = min(65535, int(round(self.rate * 65536.0)))
         bits = jax.random.bits(rng, x.shape, jnp.uint16)
         keep = bits >= jnp.uint16(thresh)
         scale = jnp.asarray(1.0 / keep_prob, x.dtype)

@@ -40,9 +40,13 @@ _VMEM_BUDGET = 10 * 2 ** 20
 def fits_vmem(h: int, lq: int, lk: int, d: int) -> bool:
     """Whether the single-block kernel's working set fits VMEM (the towers
     fall back to the XLA attention otherwise — e.g. ViT-L/14 @336 has 577
-    tokens and a 21 MiB f32 score tile alone)."""
-    tiles = 3 * h * lq * lk * 4          # s/p + dP + keep (bwd worst case)
-    qkv = 3 * h * max(lq, lk) * d * 4
+    tokens and a 21 MiB f32 score tile alone).
+
+    Budgeted on the BACKWARD worst case, which is what compiles during
+    training: up to ~5 live [H, Lq, Lk] f32 tiles (p, keep, pd, dpd/dp, ds)
+    plus 7 [H, L, D] operand/grad tiles (q, k, v, g, dq, dk, dv)."""
+    tiles = 5 * h * lq * lk * 4
+    qkv = 7 * h * max(lq, lk) * d * 4
     return tiles + qkv <= _VMEM_BUDGET
 
 
@@ -50,26 +54,30 @@ def _keep_mask(seed_ref, h, lq, lk, rate, interpret):
     """Regenerable dropout keep-mask in {0, 1/(1-rate)} (f32).
 
     On hardware this is the TPU PRNG (pltpu.prng_*), re-seeded identically
-    in the backward kernel so the mask is never stored.  Interpreter mode
-    (CPU tests) falls back to a counter-based avalanche hash with the same
-    determinism contract."""
+    in the backward kernel so the mask is never stored.  seed_ref is a [B]
+    per-example seed array (globally unique even on multi-device meshes,
+    where pl.program_id restarts per shard — the seeds are sharded along
+    with q, so the i-th local program reads its own global seed).
+    Interpreter mode (CPU tests) falls back to a counter-based avalanche
+    hash with the same determinism contract."""
+    seed = seed_ref[pl.program_id(0)]
     if interpret:
-        n = h * lq * lk
         ctr = jax.lax.broadcasted_iota(jnp.uint32, (h, lq, lk), 0) * (lq * lk)
         ctr += jax.lax.broadcasted_iota(jnp.uint32, (h, lq, lk), 1) * lk
         ctr += jax.lax.broadcasted_iota(jnp.uint32, (h, lq, lk), 2)
-        x = (ctr + pl.program_id(0).astype(jnp.uint32) * jnp.uint32(n)
-             + seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        x = ctr + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
         # murmur3 finalizer
         x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
         x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
         x = x ^ (x >> 16)
         keep = x >= jnp.uint32(int(rate * 4294967296.0))
     else:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        bits = pltpu.prng_random_bits((h, lq, lk))  # int32 reinterpretation
-        thresh = int(rate * 4294967296.0) - 2147483648  # as int32
-        keep = bits >= jnp.int32(thresh)
+        pltpu.prng_seed(seed)
+        # bitcast: prng_random_bits returns int32 on the pinned jax but
+        # uint32 on newer releases — compare in uint32 either way so the
+        # threshold semantics are version-independent
+        bits = pltpu.bitcast(pltpu.prng_random_bits((h, lq, lk)), jnp.uint32)
+        keep = bits >= jnp.uint32(int(rate * 4294967296.0))
     return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
 
 
@@ -185,6 +193,283 @@ def _bwd_pallas(seed, q, k, v, mask3, lse, g, rate, interpret):
     )(seed, q, k, v, mask3, lse, g)
 
 
+# --------------------------------------------------------- Lk-tiled kernels
+#
+# When the [H, Lq, Lk] score tile does not fit VMEM (ViT-L/14 @336 has 577
+# tokens -> 21 MiB f32), the single-block kernel above cannot run.  These
+# kernels tile BOTH sequence axes with streaming-softmax state (the
+# ops/infonce.py _stats_kernel pattern): grid (B, nq, nk) with the key axis
+# innermost, carrying running max / denominator / unnormalized output in
+# VMEM scratch.  Same regenerable-dropout contract — the mask for tile
+# (i, j) is a pure function of (per-example seed, i, j), re-derived
+# identically by every backward kernel.
+
+_TILE_Q = 128
+_TILE_K = 128
+
+
+def _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret):
+    """Dropout keep-mask for q-tile i / k-tile j, in {0, 1/(1-rate)}."""
+    seed = seed_ref[pl.program_id(0)]
+    if interpret:
+        ctr = jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 0) * (bq * bk)
+        ctr += jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 1) * bk
+        ctr += jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 2)
+        x = (ctr + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+             + i.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+             + j.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+        x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+        x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+        x = x ^ (x >> 16)
+        keep = x >= jnp.uint32(int(rate * 4294967296.0))
+    else:
+        pltpu.prng_seed(seed, i, j)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((h, bq, bk)), jnp.uint32)
+        keep = bits >= jnp.uint32(int(rate * 4294967296.0))
+    return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
+def _bh_dot(a, b, contract_a, contract_b):
+    """Batched-over-heads dot: a [H, M, X] x b [H, N, Y] contracting the
+    given dims, f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _tiled_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                      out_ref, lse_ref, m_scr, s_scr, o_scr,
+                      *, rate, interpret):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+    q = q_ref[0].astype(jnp.float32)  # [H, bq, D]
+    k = k_ref[0].astype(jnp.float32)  # [H, bk, D]
+    v = v_ref[0].astype(jnp.float32)
+    h, bq, d = q.shape
+    bk = k.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        o_scr[:] = jnp.zeros_like(o_scr)
+
+    s = _bh_dot(q, k, 2, 2) * (1.0 / (d ** 0.5))  # [H, bq, bk]
+    pad = mask_ref[0][0] != 0  # [bk]
+    s = jnp.where(pad[None, None, :], -jnp.inf, s)
+
+    m_old = m_scr[:]                      # [H, bq]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1))
+    safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    alpha = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - safe_m), 0.0)
+    p = jnp.where(jnp.isfinite(s), jnp.exp(s - safe_m[..., None]), 0.0)
+    s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=-1)
+    m_scr[:] = m_new
+    if rate > 0.0:
+        p = p * _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret)
+    o_scr[:] = o_scr[:] * alpha[..., None] + _bh_dot(p, v, 2, 1)
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        denom = s_scr[:]
+        safe = jnp.where(denom > 0, denom, 1.0)
+        out_ref[0] = (o_scr[:] / safe[..., None]).astype(out_ref.dtype)
+        lse_ref[0] = jnp.where(denom > 0, m_scr[:] + jnp.log(safe), -jnp.inf)
+
+
+def _tile_p(q, k, pad, lse, d):
+    """Recompute normalized probabilities for one (q-tile, k-tile): the
+    flash-bwd identity p = exp(s - lse), with fully-masked/-inf rows
+    guarded to 0."""
+    s = _bh_dot(q, k, 2, 2) * (1.0 / (d ** 0.5))
+    s = jnp.where(pad[None, None, :], -jnp.inf, s)
+    l = lse[..., None]
+    return jnp.where(jnp.isfinite(s) & jnp.isfinite(l), jnp.exp(s - l), 0.0), s
+
+
+def _tiled_dq_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
+                     delta_ref, g_ref, dq_ref, dq_scr, *, rate, interpret):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)      # [H, bq, D]
+    h, bq, d = q.shape
+    bk = k.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    pad = mask_ref[0][0] != 0
+    p, _ = _tile_p(q, k, pad, lse_ref[0], d)
+    dpd = _bh_dot(g, v, 2, 2)             # [H, bq, bk]
+    if rate > 0.0:
+        dp = dpd * _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret)
+    else:
+        dp = dpd
+    ds = p * (dp - delta_ref[0][..., None]) * (1.0 / (d ** 0.5))
+    dq_scr[:] = dq_scr[:] + _bh_dot(ds, k, 2, 1)
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _tiled_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
+                      delta_ref, g_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                      *, rate, interpret):
+    # grid (B, nkj, nqi): k-tile j is the outer (revisit) axis, q-tile i
+    # streams innermost so dk/dv accumulate in scratch
+    j, i = pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    h, bq, d = q.shape
+    bk = k.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    pad = mask_ref[0][0] != 0
+    p, _ = _tile_p(q, k, pad, lse_ref[0], d)
+    dpd = _bh_dot(g, v, 2, 2)
+    if rate > 0.0:
+        keep = _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret)
+        pd = p * keep
+        dp = dpd * keep
+    else:
+        pd, dp = p, dpd
+    dv_scr[:] = dv_scr[:] + _bh_dot(pd, g, 1, 1)  # [H, bk, D]
+    ds = p * (dp - delta_ref[0][..., None]) * (1.0 / (d ** 0.5))
+    dk_scr[:] = dk_scr[:] + _bh_dot(ds, q, 1, 1)  # [H, bk, D]
+
+    @pl.when(i == nq - 1)
+    def _flush():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _tiled_fwd_pallas(seed, q, k, v, mask3, rate, interpret):
+    b, h, lqp, d = q.shape
+    lkp = k.shape[2]
+    bq, bk = min(_TILE_Q, lqp), min(_TILE_K, lkp)
+    grid = (b, lqp // bq, lkp // bk)
+    qspec = pl.BlockSpec((1, h, bq, d), lambda bi, i, j, *_: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, h, bk, d), lambda bi, i, j, *_: (bi, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, bk), lambda bi, i, j, *_: (bi, 0, j),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, h, bq), lambda bi, i, j, *_: (bi, 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tiled_fwd_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[qspec, kspec, kspec, mspec],
+            out_specs=[qspec, lspec],
+            scratch_shapes=[pltpu.VMEM((h, bq), jnp.float32),
+                            pltpu.VMEM((h, bq), jnp.float32),
+                            pltpu.VMEM((h, bq, d), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lqp), jnp.float32)],
+        interpret=interpret,
+    )(seed, q, k, v, mask3)
+
+
+def _tiled_bwd_pallas(seed, q, k, v, mask3, lse, delta, g, rate, interpret):
+    b, h, lqp, d = q.shape
+    lkp = k.shape[2]
+    bq, bk = min(_TILE_Q, lqp), min(_TILE_K, lkp)
+    qspec = pl.BlockSpec((1, h, bq, d), lambda bi, i, j, *_: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, h, bk, d), lambda bi, i, j, *_: (bi, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, bk), lambda bi, i, j, *_: (bi, 0, j),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, h, bq), lambda bi, i, j, *_: (bi, 0, i),
+                         memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_tiled_dq_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, lqp // bq, lkp // bk),
+            in_specs=[qspec, kspec, kspec, mspec, lspec, lspec, qspec],
+            out_specs=[qspec],
+            scratch_shapes=[pltpu.VMEM((h, bq, d), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype)],
+        interpret=interpret,
+    )(seed, q, k, v, mask3, lse, delta, g)[0]
+
+    # k-major grid: swap the index maps' tile roles (i streams innermost)
+    qspec2 = pl.BlockSpec((1, h, bq, d), lambda bi, j, i, *_: (bi, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, h, bk, d), lambda bi, j, i, *_: (bi, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    mspec2 = pl.BlockSpec((1, 1, bk), lambda bi, j, i, *_: (bi, 0, j),
+                          memory_space=pltpu.VMEM)
+    lspec2 = pl.BlockSpec((1, h, bq), lambda bi, j, i, *_: (bi, 0, i),
+                          memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_tiled_dkv_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, lkp // bk, lqp // bq),
+            in_specs=[qspec2, kspec2, kspec2, mspec2, lspec2, lspec2, qspec2],
+            out_specs=[kspec2, kspec2],
+            scratch_shapes=[pltpu.VMEM((h, bk, d), jnp.float32),
+                            pltpu.VMEM((h, bk, d), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lkp, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, lkp, d), v.dtype)],
+        interpret=interpret,
+    )(seed, q, k, v, mask3, lse, delta, g)
+    return dq, dk, dv
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_tiled_fwd(rate, interpret):
+    def impl(seed, q, k, v, mask3):
+        return _tiled_fwd_pallas(seed, q, k, v, mask3, rate, interpret)
+
+    return _make_partitioned(
+        impl, "b, b h q d, b h k d, b h k d, b m k -> b h q d, b h q", 2, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_tiled_bwd(rate, interpret):
+    def impl(seed, q, k, v, mask3, lse, delta, g):
+        return _tiled_bwd_pallas(seed, q, k, v, mask3, lse, delta, g,
+                                 rate, interpret)
+
+    return _make_partitioned(
+        impl,
+        "b, b h q d, b h k d, b h k d, b m k, b h q, b h q, b h q d "
+        "-> b h q d, b h k d, b h k d", 1, 2)
+
+
+def _pad_axis(x, axis, to):
+    pad = to - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
 def _dim0_spec(shapes):
     """Batch-axis entry of the q operand's sharding spec (None if
     replicated/unsharded)."""
@@ -195,10 +480,10 @@ def _dim0_spec(shapes):
 
 def _make_partitioned(impl, rule, n_q_outs, n_k_outs):
     """Wrap a pallas caller with a GSPMD/Shardy batch-partitioning rule:
-    every tensor operand/result is sharded on dim 0 exactly like q; the
-    seed stays replicated.  Without this, XLA treats the pallas custom
-    call as opaque and replicates it (all-gathering every operand) on
-    multi-device meshes."""
+    every operand/result — including the [B] per-example seed array — is
+    sharded on dim 0 exactly like q.  Without this, XLA treats the pallas
+    custom call as opaque and replicates it (all-gathering every operand)
+    on multi-device meshes."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     fn = custom_partitioning(impl)
@@ -213,8 +498,7 @@ def _make_partitioned(impl, rule, n_q_outs, n_k_outs):
     def part(mesh, shapes, result_shape):
         b_axis = _dim0_spec(shapes)
         arg_sh = tuple(
-            NamedSharding(mesh, P() if i == 0 else P(b_axis))
-            for i in range(len(shapes)))
+            NamedSharding(mesh, P(b_axis)) for _ in range(len(shapes)))
         return mesh, impl, result_shardings(mesh, b_axis), arg_sh
 
     fn.def_partition(partition=part, infer_sharding_from_operands=infer,
@@ -228,7 +512,7 @@ def _partitioned_fwd(rate, interpret):
         return _fwd_pallas(seed, q, k, v, mask3, rate, interpret)
 
     return _make_partitioned(
-        impl, "i, b h q d, b h k d, b h k d, b m k -> b h q d, b h q", 2, 0)
+        impl, "b, b h q d, b h k d, b h k d, b m k -> b h q d, b h q", 2, 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -238,7 +522,7 @@ def _partitioned_bwd(rate, interpret):
 
     return _make_partitioned(
         impl,
-        "i, b h q d, b h k d, b h k d, b m k, b h q, b h q d "
+        "b, b h q d, b h k d, b h k d, b m k, b h q, b h q d "
         "-> b h q d, b h k d, b h k d", 1, 2)
 
 
@@ -248,11 +532,25 @@ def flash_tower_attention(q, k, v, padding_mask, seed,
     """softmax dropout attention, fused per batch item.
 
     q: [B, H, Lq, D]; k, v: [B, H, Lk, D]; padding_mask: [B, Lk]
-    (nonzero/True = PADDING) or None; seed: int32 scalar (ignored when
-    dropout_rate == 0).  Returns [B, H, Lq, D] in q.dtype.
+    (nonzero/True = PADDING) or None; seed: int32 scalar, expanded to a
+    [B] per-example seed array inside (ignored when dropout_rate == 0).
+    Returns [B, H, Lq, D] in q.dtype.
+
+    Dispatch is internal: shapes whose score tile fits VMEM use the
+    single-block kernel; longer sequences (ViT-L/14 @336 = 577 tokens)
+    stream over (q, k) tiles — the flag never silently disengages.
     """
+    assert dropout_rate < 1.0, "dropout_rate must be < 1.0"
     out, _ = _flash_fwd(q, k, v, padding_mask, seed, dropout_rate, interpret)
     return out
+
+
+def _example_seeds(seed, b):
+    # [B] per-example seeds: globally unique across a sharded batch (the
+    # array is sharded like q, so shard-local program i reads global seed
+    # base + global_row(i) — uncorrelated masks on every device)
+    return (jnp.asarray(seed, jnp.int32).reshape(())
+            + jnp.arange(b, dtype=jnp.int32) * jnp.int32(-1640531527))
 
 
 def _flash_fwd(q, k, v, padding_mask, seed, dropout_rate, interpret):
@@ -261,10 +559,27 @@ def _flash_fwd(q, k, v, padding_mask, seed, dropout_rate, interpret):
     if padding_mask is None:
         padding_mask = jnp.zeros((b, lk), jnp.int32)
     padding_mask = padding_mask.astype(jnp.int32)[:, None, :]
-    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
-    out, lse = _partitioned_fwd(float(dropout_rate), interpret)(
-        seed, q, k, v, padding_mask)
-    return out, (q, k, v, padding_mask, seed, lse)
+    seed = _example_seeds(seed, b)
+    if fits_vmem(h, lq, lk, d):
+        out, lse = _partitioned_fwd(float(dropout_rate), interpret)(
+            seed, q, k, v, padding_mask)
+        return out, (q, k, v, padding_mask, seed, lse, None)
+    # tiled path: pad both sequence axes to tile multiples (padded keys are
+    # masked; padded query rows are sliced off and their grads are zero)
+    lqp, lkp = _round_up(lq, _TILE_Q), _round_up(lk, _TILE_K)
+    qp = _pad_axis(q, 2, lqp)
+    kp = _pad_axis(k, 2, lkp)
+    vp = _pad_axis(v, 2, lkp)
+    maskp = _pad_axis(padding_mask, 2, lkp)
+    if lkp != lk:
+        maskp = maskp.at[:, :, lk:].set(1)
+    outp, lsep = _partitioned_tiled_fwd(float(dropout_rate), interpret)(
+        seed, qp, kp, vp, maskp)
+    out = outp[:, :, :lq]
+    # residuals keep the UNPADDED operands (bwd re-pads) so dq/dk/dv slice
+    # back trivially; `out` rides along for the delta = rowsum(g * out)
+    # flash-bwd identity (valid with dropout: delta = sum_k pd . dpd)
+    return out, (q, k, v, padding_mask, seed, lsep, out)
 
 
 def _flash_fwd_vjp(q, k, v, padding_mask, seed, dropout_rate, interpret):
@@ -274,10 +589,26 @@ def _flash_fwd_vjp(q, k, v, padding_mask, seed, dropout_rate, interpret):
 
 
 def _flash_bwd(dropout_rate, interpret, res, g):
-    q, k, v, padding_mask, seed, lse = res
-    dq, dk, dv = _partitioned_bwd(float(dropout_rate), interpret)(
-        seed, q, k, v, padding_mask, lse, g)
-    return dq, dk, dv, None, None
+    q, k, v, padding_mask, seed, lse, out = res
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if out is None:  # single-block path
+        dq, dk, dv = _partitioned_bwd(float(dropout_rate), interpret)(
+            seed, q, k, v, padding_mask, lse, g)
+        return dq, dk, dv, None, None
+    lqp, lkp = _round_up(lq, _TILE_Q), _round_up(lk, _TILE_K)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    qp = _pad_axis(q, 2, lqp)
+    kp = _pad_axis(k, 2, lkp)
+    vp = _pad_axis(v, 2, lkp)
+    maskp = _pad_axis(padding_mask, 2, lkp)
+    if lkp != lk:
+        maskp = maskp.at[:, :, lk:].set(1)
+    gp = _pad_axis(g, 2, lqp)
+    deltap = _pad_axis(delta, 2, lqp)
+    dq, dk, dv = _partitioned_tiled_bwd(float(dropout_rate), interpret)(
+        seed, qp, kp, vp, maskp, lse, deltap, gp)
+    return dq[:, :, :lq], dk[:, :, :lk], dv[:, :, :lk], None, None
 
 
 flash_tower_attention.defvjp(_flash_fwd_vjp, _flash_bwd)

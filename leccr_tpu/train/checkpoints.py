@@ -47,11 +47,17 @@ class CheckpointManager:
         config_json: str = "",
         metrics: Optional[Dict[str, float]] = None,
         is_best: bool = False,
+        steps_per_epoch: int = 0,
     ) -> None:
         state = {
             "params": params,
             "opt_state": opt_state,
-            "meta": {"step": step, "epoch": epoch},
+            # steps_per_epoch is persisted so resume can detect dataset/
+            # batch-size drift DIRECTLY (a slightly-changed steps_per_epoch
+            # can still land the derived epoch in range, silently mis-
+            # phasing the data stream — ADVICE r2)
+            "meta": {"step": step, "epoch": epoch,
+                     "steps_per_epoch": steps_per_epoch},
         }
         # orbax saves are collective: every process calls save() with the
         # global arrays; the sidecar json files are written once
@@ -79,6 +85,29 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    @staticmethod
+    def _restore_state(manager, abstract_state: Any, step: int):
+        """StandardRestore with meta-layout tolerance: checkpoints written
+        before/after the steps_per_epoch meta key restore either way (the
+        orbax tree structures must match exactly, so retry with the key
+        toggled)."""
+        def attempt(abstract):
+            return manager.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract)))["state"]
+
+        try:
+            return attempt(abstract_state)
+        except ValueError:
+            alt = dict(abstract_state)
+            meta = dict(alt.get("meta", {}))
+            if "steps_per_epoch" in meta:
+                meta.pop("steps_per_epoch")
+            else:
+                meta["steps_per_epoch"] = 0
+            alt["meta"] = meta
+            return attempt(alt)
+
     def restore(
         self, abstract_state: Any, step: Optional[int] = None
     ) -> Tuple[Any, Any, Dict[str, int]]:
@@ -86,10 +115,7 @@ class CheckpointManager:
         jax.ShapeDtypeStruct (or concrete arrays) matching save()'s layout."""
         step = step if step is not None else self.manager.latest_step()
         assert step is not None, "no checkpoint to restore"
-        restored = self.manager.restore(
-            step, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state)))
-        state = restored["state"]
+        state = self._restore_state(self.manager, abstract_state, step)
         return state["params"], state["opt_state"], state["meta"]
 
     def restore_best(
@@ -98,10 +124,7 @@ class CheckpointManager:
         """Restore the best-metric checkpoint (never evicted by rotation)."""
         step = self.best_manager.latest_step()
         assert step is not None, "no best checkpoint saved"
-        restored = self.best_manager.restore(
-            step, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state)))
-        state = restored["state"]
+        state = self._restore_state(self.best_manager, abstract_state, step)
         return state["params"], state["opt_state"], state["meta"]
 
     def best_info(self) -> Optional[Dict]:

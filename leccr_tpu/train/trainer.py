@@ -182,9 +182,6 @@ class Trainer:
         self._embed_images = jax.jit(
             lambda p, b: self.model.apply({"params": p}, b,
                                           method="embed_images"))
-        self._embed_texts = jax.jit(
-            lambda p, i, m: self.model.apply({"params": p}, i, m,
-                                             method="embed_texts"))
         # all eval text batches in ONE dispatch (lax.map over the stacked
         # [nb, B, T] batches): per-dispatch latency is paid once per split
         # instead of once per batch
@@ -391,7 +388,8 @@ class Trainer:
                 # saves are collective over the global arrays (the primary
                 # host coordinates the writes).
                 self.ckpt.save(self.state.step, self.state.params,
-                               self.state.opt_state, epoch=epoch)
+                               self.state.opt_state, epoch=epoch,
+                               steps_per_epoch=self.steps_per_epoch)
         drain()
         if self.is_main:
             print("Averaged stats:", logger)
@@ -511,7 +509,7 @@ class Trainer:
             abstract = {
                 "params": self.state.params,
                 "opt_state": self.state.opt_state,
-                "meta": {"step": 0, "epoch": 0},
+                "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0},
             }
             params, opt_state, meta = self.ckpt.restore(abstract)
             step = int(meta["step"])
@@ -524,10 +522,15 @@ class Trainer:
             self.state = TrainState(params, opt_state, step)
             start_epoch, resume_skip = divmod(step, self.steps_per_epoch)
             meta_epoch = int(meta["epoch"])
-            if start_epoch not in (meta_epoch, meta_epoch + 1):
-                # steps_per_epoch changed between runs (dataset/batch-size
-                # config drift): the derived batch position is meaningless,
-                # fall back to an epoch-boundary restart
+            meta_spe = int(meta.get("steps_per_epoch", 0))
+            # direct steps_per_epoch comparison (stored in meta): ANY
+            # dataset/batch-size drift invalidates the derived batch
+            # position, even when the derived epoch happens to land in
+            # range; legacy checkpoints (no steps_per_epoch) fall back to
+            # the coarse derived-epoch check
+            if (meta_spe and meta_spe != self.steps_per_epoch) or (
+                    not meta_spe
+                    and start_epoch not in (meta_epoch, meta_epoch + 1)):
                 if self.is_main:
                     print("### WARNING: steps_per_epoch changed since the "
                           "checkpoint; restarting from the next epoch "
@@ -582,12 +585,27 @@ class Trainer:
                     self.state.step, self.state.params,
                     self.state.opt_state, epoch,
                     config_json=cfg.to_json(),
-                    metrics={"sumr_sum": sumr_sum}, is_best=is_best)
+                    metrics={"sumr_sum": sumr_sum}, is_best=is_best,
+                    steps_per_epoch=self.steps_per_epoch)
             if is_best:
                 best, best_epoch = sumr_sum, epoch
             if self.is_main:
                 print(f"best epoch is {best_epoch} and best sumr is {best:.2f}")
+            if cfg.remote_output_dir:
+                # hdfs output dir: mirror the staged dir (checkpoints +
+                # log.txt + config.json) up once the async save lands —
+                # reference utils/checkpointer.py:20-46 uploads per epoch
+                self.ckpt.wait()
+                self._sync_outputs()
         self.ckpt.wait()
         if self.is_main:
             self.logger.write({"best_epoch": best_epoch, "best": best})
+        self._sync_outputs()
         return last_stats
+
+    def _sync_outputs(self) -> None:
+        if self.cfg.remote_output_dir and self.is_main:
+            from leccr_tpu.utils import io as lio
+
+            lio.sync_dir_to_remote(self.cfg.output_dir,
+                                   self.cfg.remote_output_dir)

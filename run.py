@@ -31,7 +31,9 @@ def parse_args():
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", default="",
                    help="initial params checkpoint (orbax dir or torch file)")
-    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--seed", default=None, type=int,
+                   help="override the config's train.seed (default: honor "
+                        "the YAML; 42 if neither is given)")
     p.add_argument("--epoch", default=-1, type=int,
                    help="override config epochs")
     p.add_argument("--bs", default=-1, type=int,
@@ -78,7 +80,30 @@ def main():
     cfg = load_config(config_path)
     cfg.task = args.task
     cfg.output_dir = args.output_dir
-    cfg.train.seed = args.seed
+    if args.output_dir.startswith("hdfs://"):
+        # hdfs output dir: stage locally (deterministic path so a restarted
+        # job reuses it), mirror up after every checkpointed epoch; on
+        # --resume with an empty local stage, pull the remote dir down
+        # first so orbax finds the checkpoints
+        import re
+        import tempfile
+
+        from leccr_tpu.utils import io as uio
+
+        cfg.remote_output_dir = args.output_dir
+        local_out = os.path.join(
+            tempfile.gettempdir(), "leccr_stage",
+            re.sub(r"[^\w.-]+", "_", args.output_dir[len("hdfs://"):]))
+        cfg.output_dir = local_out
+        if args.resume and not os.path.exists(
+                os.path.join(local_out, "checkpoints")) and uio.exists(
+                args.output_dir):
+            Path(local_out).mkdir(parents=True, exist_ok=True)
+            uio.copy(args.output_dir, local_out)
+            print(f"### staged {args.output_dir} -> {local_out}", flush=True)
+        args.output_dir = local_out
+    if args.seed is not None:
+        cfg.train.seed = args.seed
     if args.epoch > 0:
         cfg.train.schedular.epochs = args.epoch
         print(f"### set epochs to: {args.epoch}", flush=True)

@@ -89,16 +89,17 @@ def test_dropout_stats_and_determinism(qkv):
 
 
 def _interpret_keep_mask(seed, b, h, lq, lk, rate):
-    """The kernel's interpret-mode hash mask, re-derived in numpy."""
+    """The kernel's interpret-mode hash mask, re-derived in numpy: the [B]
+    per-example seeds are base + i * 0x9E3779B9 (flash_attention._flash_fwd),
+    and each program hashes ctr + seed * 0x9E3779B9."""
     masks = []
-    n = np.uint32(h * lq * lk)
     for pid in range(b):
         hh, qq, kk = np.meshgrid(np.arange(h), np.arange(lq), np.arange(lk),
                                  indexing="ij")
         ctr = (hh * (lq * lk) + qq * lk + kk).astype(np.uint32)
         with np.errstate(over="ignore"):
-            x = ctr + np.uint32(pid) * n + np.uint32(seed) * np.uint32(
-                0x9E3779B9)
+            ex_seed = np.uint32(seed) + np.uint32(pid) * np.uint32(0x9E3779B9)
+            x = ctr + ex_seed * np.uint32(0x9E3779B9)
             x = (x ^ (x >> np.uint32(16))) * np.uint32(0x85EBCA6B)
             x = (x ^ (x >> np.uint32(13))) * np.uint32(0xC2B2AE35)
             x = x ^ (x >> np.uint32(16))
@@ -140,6 +141,135 @@ def test_padded_keys_get_no_attention(qkv):
     # poison padded key rows; outputs must not change
     v_bad = v.at[0, :, -5:, :].set(1e6)
     k_bad = k.at[0, :, -5:, :].set(-1e6)
+    out = flash_tower_attention(q, k, v, mask, 0, 0.0, True)
+    out_bad = flash_tower_attention(q, k_bad, v_bad, mask, 0, 0.0, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_bad),
+                               atol=1e-4)
+
+
+# ------------------------------------------------------- Lk-tiled kernels
+
+
+def _tile_keep_np(seed, b, h, lqp, lkp, bq, bk, rate):
+    """Numpy replica of flash_attention._tile_keep (interpret hash) over the
+    padded grid, assembled into a full [B, H, Lqp, Lkp] keep mask.  The [B]
+    per-example seeds mirror _example_seeds."""
+    full = np.zeros((b, h, lqp, lkp), np.float32)
+    hh, qq, kk = np.meshgrid(np.arange(h), np.arange(bq), np.arange(bk),
+                             indexing="ij")
+    ctr = (hh * (bq * bk) + qq * bk + kk).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        for pid in range(b):
+            ex = np.uint32(seed) + np.uint32(pid) * np.uint32(0x9E3779B9)
+            for i in range(lqp // bq):
+                for j in range(lkp // bk):
+                    x = (ctr + ex * np.uint32(0x9E3779B9)
+                         + np.uint32(i) * np.uint32(0x85EBCA77)
+                         + np.uint32(j) * np.uint32(0xC2B2AE3D))
+                    x = (x ^ (x >> np.uint32(16))) * np.uint32(0x85EBCA6B)
+                    x = (x ^ (x >> np.uint32(13))) * np.uint32(0xC2B2AE35)
+                    x = x ^ (x >> np.uint32(16))
+                    full[pid, :, i * bq:(i + 1) * bq, j * bk:(j + 1) * bk] = (
+                        x >= np.uint32(int(rate * 4294967296.0)))
+    return full / (1.0 - rate)
+
+
+@pytest.fixture()
+def force_tiled(monkeypatch):
+    """Force the Lk-tiled dispatch at small test shapes."""
+    from leccr_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "fits_vmem", lambda *a: False)
+
+
+@pytest.fixture(scope="module")
+def qkv_big():
+    """Non-tile-multiple lengths (Lq=150, Lk=200 -> padded 256) with real
+    padding, exercising multi-tile streaming + the padding machinery."""
+    rs = np.random.RandomState(1)
+    b, h, lq, lk, d = 2, 3, 150, 200, 16
+    q = rs.randn(b, h, lq, d).astype(np.float32)
+    k = rs.randn(b, h, lk, d).astype(np.float32)
+    v = rs.randn(b, h, lk, d).astype(np.float32)
+    mask = np.zeros((b, lk), np.int32)
+    mask[0, -37:] = 1
+    return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask))
+
+
+def test_tiled_forward_matches_reference(force_tiled, qkv_big):
+    q, k, v, mask = qkv_big
+    out = flash_tower_attention(q, k, v, mask, 0, 0.0, True)
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+    s = jnp.where(mask[:, None, None, :].astype(bool),
+                  jnp.finfo(jnp.float32).min, s)
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_tiled_grads_match_autodiff(force_tiled, qkv_big):
+    q, k, v, mask = qkv_big
+    d = q.shape[-1]
+
+    def mine(q, k, v):
+        out = flash_tower_attention(q, k, v, mask, 0, 0.0, True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+        s = jnp.where(mask[:, None, None, :].astype(bool),
+                      jnp.finfo(jnp.float32).min, s)
+        out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+        return jnp.sum(out * jnp.sin(out))
+
+    np.testing.assert_allclose(float(mine(q, k, v)), float(ref(q, k, v)),
+                               rtol=1e-5)
+    g1 = jax.grad(mine, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_tiled_dropout_grads_match_autodiff(force_tiled, qkv_big):
+    from leccr_tpu.ops.flash_attention import _TILE_K, _TILE_Q
+
+    q, k, v, mask = qkv_big
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    seed, rate = 11, 0.15
+    lqp = -(-lq // _TILE_Q) * _TILE_Q
+    lkp = -(-lk // _TILE_K) * _TILE_K
+    keep = jnp.asarray(
+        _tile_keep_np(seed, b, h, lqp, lkp, _TILE_Q, _TILE_K, rate)
+        [:, :, :lq, :lk])
+
+    def mine(q, k, v):
+        out = flash_tower_attention(q, k, v, mask, seed, rate, True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+        s = jnp.where(mask[:, None, None, :].astype(bool),
+                      jnp.finfo(jnp.float32).min, s)
+        p = jax.nn.softmax(s, axis=-1) * keep
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return jnp.sum(out * jnp.cos(out))
+
+    np.testing.assert_allclose(float(mine(q, k, v)), float(ref(q, k, v)),
+                               rtol=1e-5)
+    g1 = jax.grad(mine, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_tiled_padded_keys_get_no_attention(force_tiled, qkv_big):
+    q, k, v, mask = qkv_big
+    k_bad = k.at[0, :, -37:, :].set(-1e6)
+    v_bad = v.at[0, :, -37:, :].set(1e6)
     out = flash_tower_attention(q, k, v, mask, 0, 0.0, True)
     out_bad = flash_tower_attention(q, k_bad, v_bad, mask, 0, 0.0, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_bad),

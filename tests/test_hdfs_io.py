@@ -176,3 +176,38 @@ def test_shim_is_actually_invoked(hdfs):
                         capture_output=True)
     assert rc.returncode == 1
     assert _argv_log(hdfs)[-1] == ["dfs", "-test", "-e", "hdfs://nn/none"]
+
+
+def test_trainer_syncs_outputs_to_hdfs(hdfs, tmp_path):
+    """End-to-end: a tiny training run with remote_output_dir set mirrors
+    checkpoints + log.txt + config.json into the (fake) cluster after each
+    checkpointed epoch — the reference's `--output_dir hdfs://…` flow
+    (utils/torch_io.py:15-31, utils/checkpointer.py:20-46)."""
+    import jax
+
+    from leccr_tpu.config import tiny_test_config
+    from leccr_tpu.train.trainer import Trainer
+
+    cfg = tiny_test_config()
+    cfg.output_dir = str(tmp_path / "stage")
+    cfg.remote_output_dir = "hdfs://nn/runs/exp_sync"
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 8
+    cfg.data.synthetic_eval_images = 4
+    cfg.data.synthetic_captions_per_image = 2
+    cfg.data.num_workers = 1
+    cfg.train.batch_size_train = 4
+    cfg.train.batch_size_test = 2
+    cfg.train.batch_size_test_text = 4
+    cfg.train.schedular.epochs = 1
+    cfg.parallel.data = 1
+    trainer = Trainer(cfg, devices=jax.devices()[:1])
+    trainer.fit()
+
+    remote = hdfs / "runs" / "exp_sync"
+    assert (remote / "stage" / "log.txt").exists() or (
+        remote / "log.txt").exists()
+    # checkpoints dir made it up (the -put of a directory copies the tree)
+    found = list(remote.rglob("checkpoints"))
+    assert found, f"no checkpoints dir under {remote}"
+    assert any(remote.rglob("best.json")) or any(remote.rglob("log.txt"))

@@ -197,3 +197,68 @@ def test_load_hf_bert_into(tmp_path):
     np.testing.assert_allclose(
         np.asarray(new["text_encoder"]["word_embeddings"]["embedding"]),
         hf.embeddings.word_embeddings.weight.detach().numpy(), rtol=1e-6)
+
+
+def test_load_hf_xlmr_roberta_into(tmp_path):
+    """An XLM-R-style checkpoint (RobertaModel weights saved under the
+    "roberta." prefix, as XLMRobertaForMaskedLM/-Model emit) must load
+    through load_initial_checkpoint into a kind="xlmr" text tower and match
+    HF RobertaModel's forward numerically — the text-tower load path of
+    BASELINE configs #1/#5 (reference models/xvlm.py:91-103)."""
+    from transformers import RobertaConfig, RobertaModel
+
+    from leccr_tpu.models.weights import load_initial_checkpoint
+
+    cfg = tiny_test_config()
+    t = cfg.model.text
+    t.kind = "xlmr"
+    t.vocab_size = 128
+    t.hidden_size = 64
+    t.num_layers = 2
+    t.num_heads = 4
+    t.intermediate_size = 128
+    t.max_position_embeddings = 66  # 64 + pad offset 2 (HF: max_pos + 2)
+    t.type_vocab_size = 1
+    t.pad_token_id = 1
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(0)
+    batch = {
+        "vision": jnp.asarray(rs.randn(1, 64, 64, 3), jnp.float32),
+        "text_ids_s": jnp.asarray(rs.randint(2, 128, (1, 8))),
+        "text_mask_s": jnp.ones((1, 8), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(2, 128, (1, 8))),
+        "text_mask_t": jnp.ones((1, 8), jnp.int32),
+        "caption_ids": jnp.asarray(rs.randint(2, 128, (1, 8))),
+        "caption_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    torch.manual_seed(7)
+    hf = RobertaModel(RobertaConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+        attn_implementation="eager")).eval()
+    # save with the "roberta." prefix + an lm_head distractor, exactly the
+    # on-disk layout of HF xlm-roberta-base's pytorch_model.bin
+    sd = {f"roberta.{k}": v for k, v in hf.state_dict().items()}
+    sd["lm_head.dense.weight"] = torch.zeros(64, 64)
+    path = tmp_path / "pytorch_model.bin"
+    torch.save(sd, str(path))
+
+    new = load_initial_checkpoint(str(path), params, cfg)
+    np.testing.assert_allclose(
+        np.asarray(new["text_encoder"]["word_embeddings"]["embedding"]),
+        hf.embeddings.word_embeddings.weight.detach().numpy(), rtol=1e-6)
+
+    # end-to-end: our tower with the grafted weights == HF forward
+    from leccr_tpu.models.bert import BertEncoder
+
+    ids = np.asarray(batch["text_ids_s"])
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        want = hf(torch.tensor(ids), attention_mask=torch.tensor(mask))
+    got = BertEncoder(t).apply(
+        {"params": new["text_encoder"]}, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got),
+                               want.last_hidden_state.numpy(), atol=1e-4)
