@@ -123,15 +123,21 @@ class TrainLoader:
         self._native = None
         try:
             from leccr_tpu.data.native_tokenizer import (
+                NativeUnigramTokenizer,
                 NativeWordPieceTokenizer,
             )
-            from leccr_tpu.data.tokenizers import WordPieceTokenizer
+            from leccr_tpu.data.tokenizers import (
+                UnigramTokenizer,
+                WordPieceTokenizer,
+            )
 
             if isinstance(self.tokenizer, WordPieceTokenizer):
                 self._native = NativeWordPieceTokenizer(
                     self.tokenizer.vocab_file,
                     lowercase=self.tokenizer.lowercase,
                     strip_accents=self.tokenizer.strip_accents)
+            elif isinstance(self.tokenizer, UnigramTokenizer):
+                self._native = NativeUnigramTokenizer(self.tokenizer)
         except Exception:
             self._native = None
         self.text_tokens: List[List[List[int]]] = [
@@ -151,19 +157,31 @@ class TrainLoader:
                     "#enc#", f"#enc2{ds.languages[k - 1]}#")
                 texts.append(normalize_caption(cmap[key], self.cfg.max_words))
             self.text_tokens[k] = self._batch_tokenize(texts)
-        for i in range(len(ds)):
-            cap_id = ds.cap_ids[i]
-            image_id = video_id_of(cap_id)
-            if image_id not in cap and self.cfg.generated_caption_type != "feats":
-                text = ds.generated[image_id]
-                if hasattr(self.caption_tokenizer, "cls_id"):
-                    # WordPiece / Unigram: cls…sep, unpadded row
-                    ids, mask = self.caption_tokenizer.encode(
-                        [text], max_len)
-                    cap[image_id] = ids[0][: int(mask[0].sum())].tolist()
-                else:  # CLIP BPE: fixed 77-wide, pad id 0
-                    cap[image_id] = list(
-                        self.caption_tokenizer.encode([text])[0])
+        if self.cfg.generated_caption_type != "feats":
+            # ONE batch encode over the unique images (MSCOCO has ~123k;
+            # per-text encode() calls pay numpy/tokenizer setup each time)
+            uniq: List[str] = []
+            seen = set()
+            for cap_id in ds.cap_ids:
+                image_id = video_id_of(cap_id)
+                if image_id not in seen:
+                    seen.add(image_id)
+                    uniq.append(image_id)
+            texts = [ds.generated[i] for i in uniq]
+            if hasattr(self.caption_tokenizer, "cls_id"):
+                # WordPiece / Unigram: cls…sep, unpadded rows (native C++
+                # encoder when the caption tokenizer is the text tokenizer)
+                cap_enc = (self._native
+                           if (self._native is not None
+                               and self.caption_tokenizer is self.tokenizer)
+                           else self.caption_tokenizer)
+                ids, mask = cap_enc.encode(texts, max_len)
+                for image_id, row, m in zip(uniq, ids, mask):
+                    cap[image_id] = row[: int(m.sum())].tolist()
+            else:  # CLIP BPE: fixed 77-wide, pad id 0
+                rows = self.caption_tokenizer.encode(texts)
+                for image_id, row in zip(uniq, rows):
+                    cap[image_id] = list(row)
         self.caption_tokens = cap
 
     def steps_per_epoch(self) -> int:

@@ -72,6 +72,15 @@ def build_datasets(cfg: LECCRConfig):
                       "image_root", "generated_caption_dir", "text_vocab"):
             setattr(data, field, getattr(synth, field))
         data.dataset = "multi30k"
+        if cfg.model.text.kind == "xlmr":
+            # the xlmr tower pairs with the Unigram/sentencepiece tokenizer:
+            # emit a matching tiny unigram vocab over the synthetic words
+            from leccr_tpu.data.synthetic import _WORDS_EN, _WORDS_T
+            from leccr_tpu.data.tokenizers import write_tiny_unigram_vocab
+
+            uni = str(Path(synth.root_dir) / "unigram.tsv")
+            write_tiny_unigram_vocab(uni, _WORDS_EN + _WORDS_T)
+            data.text_vocab = uni
 
     from leccr_tpu.data.datasets import (
         ImageEvalDataset,
@@ -107,11 +116,15 @@ class TrainState:
 class Trainer:
     def __init__(self, cfg: LECCRConfig, devices=None):
         self.cfg = cfg
-        try:  # persistent XLA compile cache: restarts/epochs skip recompiles
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/jax_cache_leccr")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
+        try:  # persistent XLA compile cache: restarts/epochs skip recompiles.
+            # TPU only — XLA:CPU serializes AOT machine code whose feature
+            # set can exceed the executing host's, and reloading such
+            # entries intermittently SIGILLs/aborts
+            if jax.default_backend() == "tpu":
+                jax.config.update("jax_compilation_cache_dir",
+                                  "/tmp/jax_cache_leccr")
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
         if cfg.train.debug_nans:

@@ -15,6 +15,7 @@ import jax  # noqa: E402
 # the axon TPU plugin overrides the JAX_PLATFORMS env var; force via config
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compilation cache: reruns of the suite skip XLA compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache on CPU: XLA:CPU serializes AOT machine
+# code whose feature set can exceed the executing host's (cpu_aot_loader
+# E-logs), and reloading such entries intermittently SIGILLs/aborts
+# mid-test.  CPU compiles of the tiny test models are cheap.
