@@ -83,9 +83,11 @@ def _keep_mask(seed_ref, h, lq, lk, rate, interpret):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
                 *, rate, interpret):
-    q = q_ref[0].astype(jnp.float32)  # [H, L, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # dots take the INPUT dtype (bf16 on the towers -> full-rate MXU) and
+    # accumulate f32 (preferred_element_type); softmax stats stay f32
+    q = q_ref[0]  # [H, L, D]
+    k = k_ref[0]
+    v = v_ref[0]
     h, lq, d = q.shape
     lk = k.shape[1]
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
@@ -101,18 +103,19 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
     if rate > 0.0:
         p = p * _keep_mask(seed_ref, h, lq, lk, rate, interpret)
     out_ref[0] = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, rate, interpret):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)  # [H, Lq, D]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]  # [H, Lq, D]
     h, lq, d = q.shape
     lk = k.shape[1]
+    dt = q.dtype
     scale = 1.0 / (d ** 0.5)
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
@@ -127,14 +130,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, g_ref,
         pd = p
     # dV = Pdᵀ g
     dv_ref[0] = jax.lax.dot_general(
-        pd, g, (((1,), (1,)), ((0,), (0,))),
+        pd.astype(dt), g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     # dPd = g Vᵀ ; dP = dPd ∘ keep ; softmax bwd
     dpd = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     dp = dpd * keep if keep is not None else dpd
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = ds * scale
+    ds = (ds * scale).astype(dt)
     dq_ref[0] = jax.lax.dot_general(
         ds, k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
@@ -208,14 +211,28 @@ _TILE_Q = 128
 _TILE_K = 128
 
 
-def _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret):
-    """Dropout keep-mask for q-tile i / k-tile j, in {0, 1/(1-rate)}."""
+def _head_group(h: int) -> int:
+    """Heads per grid step: the largest divisor of h that is <= 8.  Heads
+    are a sliceable block dim in the [B, H, L, D] layout (dim 1, NOT one of
+    the (8,128)-constrained last two), and grouping bounds the kernel's
+    [hg, bq, bk] temporaries — at hg=16 the Mosaic scoped-vmem stack
+    overflows the 16 MiB limit (measured on v5e at L=640)."""
+    for hg in (8, 7, 6, 5, 4, 3, 2, 1):
+        if h % hg == 0:
+            return hg
+    return 1
+
+
+def _tile_keep(seed_ref, hi, i, j, h, bq, bk, rate, interpret):
+    """Dropout keep-mask for head-group hi / q-tile i / k-tile j, in
+    {0, 1/(1-rate)}."""
     seed = seed_ref[pl.program_id(0)]
     if interpret:
         ctr = jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 0) * (bq * bk)
         ctr += jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 1) * bk
         ctr += jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 2)
         x = (ctr + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+             + hi.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
              + i.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
              + j.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
         x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
@@ -223,7 +240,12 @@ def _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret):
         x = x ^ (x >> 16)
         keep = x >= jnp.uint32(int(rate * 4294967296.0))
     else:
-        pltpu.prng_seed(seed, i, j)
+        # prng_seed accepts at most 2 scalars (Mosaic): fold the tile
+        # coordinates into one mixed value (same pure function of
+        # (hi, i, j) in every kernel that regenerates this tile's mask)
+        mix = (hi * jnp.int32(0x27D4EB2F) + i * jnp.int32(-2048144777)
+               + j * jnp.int32(-1028477379))
+        pltpu.prng_seed(seed, mix)
         bits = pltpu.bitcast(pltpu.prng_random_bits((h, bq, bk)), jnp.uint32)
         keep = bits >= jnp.uint32(int(rate * 4294967296.0))
     return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
@@ -240,11 +262,11 @@ def _bh_dot(a, b, contract_a, contract_b):
 def _tiled_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
                       out_ref, lse_ref, m_scr, s_scr, o_scr,
                       *, rate, interpret):
-    i, j = pl.program_id(1), pl.program_id(2)
-    nk = pl.num_programs(2)
-    q = q_ref[0].astype(jnp.float32)  # [H, bq, D]
-    k = k_ref[0].astype(jnp.float32)  # [H, bk, D]
-    v = v_ref[0].astype(jnp.float32)
+    hi, i, j = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+    nk = pl.num_programs(3)
+    q = q_ref[0]  # [H, bq, D]; dots run in the input dtype (bf16 MXU)
+    k = k_ref[0]  # [H, bk, D]
+    v = v_ref[0]
     h, bq, d = q.shape
     bk = k.shape[1]
 
@@ -266,8 +288,9 @@ def _tiled_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
     s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=-1)
     m_scr[:] = m_new
     if rate > 0.0:
-        p = p * _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret)
-    o_scr[:] = o_scr[:] * alpha[..., None] + _bh_dot(p, v, 2, 1)
+        p = p * _tile_keep(seed_ref, hi, i, j, h, bq, bk, rate, interpret)
+    o_scr[:] = (o_scr[:] * alpha[..., None]
+                + _bh_dot(p.astype(v.dtype), v, 2, 1))
 
     @pl.when(j == nk - 1)
     def _flush():
@@ -289,12 +312,12 @@ def _tile_p(q, k, pad, lse, d):
 
 def _tiled_dq_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
                      delta_ref, g_ref, dq_ref, dq_scr, *, rate, interpret):
-    i, j = pl.program_id(1), pl.program_id(2)
-    nk = pl.num_programs(2)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)      # [H, bq, D]
+    hi, i, j = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+    nk = pl.num_programs(3)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]      # [H, bq, D]
     h, bq, d = q.shape
     bk = k.shape[1]
 
@@ -306,11 +329,12 @@ def _tiled_dq_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
     p, _ = _tile_p(q, k, pad, lse_ref[0], d)
     dpd = _bh_dot(g, v, 2, 2)             # [H, bq, bk]
     if rate > 0.0:
-        dp = dpd * _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret)
+        dp = dpd * _tile_keep(seed_ref, hi, i, j, h, bq, bk, rate,
+                              interpret)
     else:
         dp = dpd
     ds = p * (dp - delta_ref[0][..., None]) * (1.0 / (d ** 0.5))
-    dq_scr[:] = dq_scr[:] + _bh_dot(ds, k, 2, 1)
+    dq_scr[:] = dq_scr[:] + _bh_dot(ds.astype(k.dtype), k, 2, 1)
 
     @pl.when(j == nk - 1)
     def _flush():
@@ -320,14 +344,14 @@ def _tiled_dq_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
 def _tiled_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
                       delta_ref, g_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                       *, rate, interpret):
-    # grid (B, nkj, nqi): k-tile j is the outer (revisit) axis, q-tile i
-    # streams innermost so dk/dv accumulate in scratch
-    j, i = pl.program_id(1), pl.program_id(2)
-    nq = pl.num_programs(2)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    # grid (B, nh, nkj, nqi): k-tile j is the outer (revisit) axis, q-tile
+    # i streams innermost so dk/dv accumulate in scratch
+    hi, j, i = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+    nq = pl.num_programs(3)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
     h, bq, d = q.shape
     bk = k.shape[1]
 
@@ -340,14 +364,14 @@ def _tiled_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
     p, _ = _tile_p(q, k, pad, lse_ref[0], d)
     dpd = _bh_dot(g, v, 2, 2)
     if rate > 0.0:
-        keep = _tile_keep(seed_ref, i, j, h, bq, bk, rate, interpret)
+        keep = _tile_keep(seed_ref, hi, i, j, h, bq, bk, rate, interpret)
         pd = p * keep
         dp = dpd * keep
     else:
         pd, dp = p, dpd
-    dv_scr[:] = dv_scr[:] + _bh_dot(pd, g, 1, 1)  # [H, bk, D]
+    dv_scr[:] = dv_scr[:] + _bh_dot(pd.astype(g.dtype), g, 1, 1)
     ds = p * (dp - delta_ref[0][..., None]) * (1.0 / (d ** 0.5))
-    dk_scr[:] = dk_scr[:] + _bh_dot(ds, q, 1, 1)  # [H, bk, D]
+    dk_scr[:] = dk_scr[:] + _bh_dot(ds.astype(q.dtype), q, 1, 1)
 
     @pl.when(i == nq - 1)
     def _flush():
@@ -358,15 +382,18 @@ def _tiled_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
 def _tiled_fwd_pallas(seed, q, k, v, mask3, rate, interpret):
     b, h, lqp, d = q.shape
     lkp = k.shape[2]
+    hg = _head_group(h)
     bq, bk = min(_TILE_Q, lqp), min(_TILE_K, lkp)
-    grid = (b, lqp // bq, lkp // bk)
-    qspec = pl.BlockSpec((1, h, bq, d), lambda bi, i, j, *_: (bi, 0, i, 0),
+    grid = (b, h // hg, lqp // bq, lkp // bk)
+    qspec = pl.BlockSpec((1, hg, bq, d),
+                         lambda bi, hi, i, j, *_: (bi, hi, i, 0),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, h, bk, d), lambda bi, i, j, *_: (bi, 0, j, 0),
+    kspec = pl.BlockSpec((1, hg, bk, d),
+                         lambda bi, hi, i, j, *_: (bi, hi, j, 0),
                          memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, 1, bk), lambda bi, i, j, *_: (bi, 0, j),
+    mspec = pl.BlockSpec((1, 1, bk), lambda bi, hi, i, j, *_: (bi, 0, j),
                          memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((1, h, bq), lambda bi, i, j, *_: (bi, 0, i),
+    lspec = pl.BlockSpec((1, hg, bq), lambda bi, hi, i, j, *_: (bi, hi, i),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_tiled_fwd_kernel, rate=rate, interpret=interpret),
@@ -375,9 +402,9 @@ def _tiled_fwd_pallas(seed, q, k, v, mask3, rate, interpret):
             grid=grid,
             in_specs=[qspec, kspec, kspec, mspec],
             out_specs=[qspec, lspec],
-            scratch_shapes=[pltpu.VMEM((h, bq), jnp.float32),
-                            pltpu.VMEM((h, bq), jnp.float32),
-                            pltpu.VMEM((h, bq, d), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((hg, bq), jnp.float32),
+                            pltpu.VMEM((hg, bq), jnp.float32),
+                            pltpu.VMEM((hg, bq, d), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, lqp), jnp.float32)],
@@ -388,46 +415,52 @@ def _tiled_fwd_pallas(seed, q, k, v, mask3, rate, interpret):
 def _tiled_bwd_pallas(seed, q, k, v, mask3, lse, delta, g, rate, interpret):
     b, h, lqp, d = q.shape
     lkp = k.shape[2]
+    hg = _head_group(h)
     bq, bk = min(_TILE_Q, lqp), min(_TILE_K, lkp)
-    qspec = pl.BlockSpec((1, h, bq, d), lambda bi, i, j, *_: (bi, 0, i, 0),
+    qspec = pl.BlockSpec((1, hg, bq, d),
+                         lambda bi, hi, i, j, *_: (bi, hi, i, 0),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, h, bk, d), lambda bi, i, j, *_: (bi, 0, j, 0),
+    kspec = pl.BlockSpec((1, hg, bk, d),
+                         lambda bi, hi, i, j, *_: (bi, hi, j, 0),
                          memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, 1, bk), lambda bi, i, j, *_: (bi, 0, j),
+    mspec = pl.BlockSpec((1, 1, bk), lambda bi, hi, i, j, *_: (bi, 0, j),
                          memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((1, h, bq), lambda bi, i, j, *_: (bi, 0, i),
+    lspec = pl.BlockSpec((1, hg, bq), lambda bi, hi, i, j, *_: (bi, hi, i),
                          memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_tiled_dq_kernel, rate=rate, interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, lqp // bq, lkp // bk),
+            grid=(b, h // hg, lqp // bq, lkp // bk),
             in_specs=[qspec, kspec, kspec, mspec, lspec, lspec, qspec],
             out_specs=[qspec],
-            scratch_shapes=[pltpu.VMEM((h, bq, d), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((hg, bq, d), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype)],
         interpret=interpret,
     )(seed, q, k, v, mask3, lse, delta, g)[0]
 
     # k-major grid: swap the index maps' tile roles (i streams innermost)
-    qspec2 = pl.BlockSpec((1, h, bq, d), lambda bi, j, i, *_: (bi, 0, i, 0),
+    qspec2 = pl.BlockSpec((1, hg, bq, d),
+                          lambda bi, hi, j, i, *_: (bi, hi, i, 0),
                           memory_space=pltpu.VMEM)
-    kspec2 = pl.BlockSpec((1, h, bk, d), lambda bi, j, i, *_: (bi, 0, j, 0),
+    kspec2 = pl.BlockSpec((1, hg, bk, d),
+                          lambda bi, hi, j, i, *_: (bi, hi, j, 0),
                           memory_space=pltpu.VMEM)
-    mspec2 = pl.BlockSpec((1, 1, bk), lambda bi, j, i, *_: (bi, 0, j),
+    mspec2 = pl.BlockSpec((1, 1, bk), lambda bi, hi, j, i, *_: (bi, 0, j),
                           memory_space=pltpu.VMEM)
-    lspec2 = pl.BlockSpec((1, h, bq), lambda bi, j, i, *_: (bi, 0, i),
+    lspec2 = pl.BlockSpec((1, hg, bq),
+                          lambda bi, hi, j, i, *_: (bi, hi, i),
                           memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_tiled_dkv_kernel, rate=rate, interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, lkp // bk, lqp // bq),
+            grid=(b, h // hg, lkp // bk, lqp // bq),
             in_specs=[qspec2, kspec2, kspec2, mspec2, lspec2, lspec2, qspec2],
             out_specs=[kspec2, kspec2],
-            scratch_shapes=[pltpu.VMEM((h, bk, d), jnp.float32),
-                            pltpu.VMEM((h, bk, d), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((hg, bk, d), jnp.float32),
+                            pltpu.VMEM((hg, bk, d), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((b, h, lkp, d), k.dtype),
                    jax.ShapeDtypeStruct((b, h, lkp, d), v.dtype)],

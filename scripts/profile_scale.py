@@ -53,7 +53,7 @@ def main():
     m.remat = "--no-remat" not in sys.argv
     if "--fused" in sys.argv:
         m.text.fused_attention = True
-        m.vision.fused_attention = True  # falls back: 577 tokens > VMEM fit
+        m.vision.fused_attention = True  # 577 tokens -> Lk-tiled kernels
     model = LECCRModel(m)
 
     rs = np.random.RandomState(0)

@@ -152,25 +152,32 @@ def test_padded_keys_get_no_attention(qkv):
 
 def _tile_keep_np(seed, b, h, lqp, lkp, bq, bk, rate):
     """Numpy replica of flash_attention._tile_keep (interpret hash) over the
-    padded grid, assembled into a full [B, H, Lqp, Lkp] keep mask.  The [B]
-    per-example seeds mirror _example_seeds."""
+    padded (head-group, q-tile, k-tile) grid, assembled into a full
+    [B, H, Lqp, Lkp] keep mask.  The [B] per-example seeds mirror
+    _example_seeds; heads are grouped as _head_group(h) does."""
+    from leccr_tpu.ops.flash_attention import _head_group
+
+    hg = _head_group(h)
     full = np.zeros((b, h, lqp, lkp), np.float32)
-    hh, qq, kk = np.meshgrid(np.arange(h), np.arange(bq), np.arange(bk),
+    hh, qq, kk = np.meshgrid(np.arange(hg), np.arange(bq), np.arange(bk),
                              indexing="ij")
     ctr = (hh * (bq * bk) + qq * bk + kk).astype(np.uint32)
     with np.errstate(over="ignore"):
         for pid in range(b):
             ex = np.uint32(seed) + np.uint32(pid) * np.uint32(0x9E3779B9)
-            for i in range(lqp // bq):
-                for j in range(lkp // bk):
-                    x = (ctr + ex * np.uint32(0x9E3779B9)
-                         + np.uint32(i) * np.uint32(0x85EBCA77)
-                         + np.uint32(j) * np.uint32(0xC2B2AE3D))
-                    x = (x ^ (x >> np.uint32(16))) * np.uint32(0x85EBCA6B)
-                    x = (x ^ (x >> np.uint32(13))) * np.uint32(0xC2B2AE35)
-                    x = x ^ (x >> np.uint32(16))
-                    full[pid, :, i * bq:(i + 1) * bq, j * bk:(j + 1) * bk] = (
-                        x >= np.uint32(int(rate * 4294967296.0)))
+            for hi in range(h // hg):
+                for i in range(lqp // bq):
+                    for j in range(lkp // bk):
+                        x = (ctr + ex * np.uint32(0x9E3779B9)
+                             + np.uint32(hi) * np.uint32(0x27D4EB2F)
+                             + np.uint32(i) * np.uint32(0x85EBCA77)
+                             + np.uint32(j) * np.uint32(0xC2B2AE3D))
+                        x = (x ^ (x >> np.uint32(16))) * np.uint32(0x85EBCA6B)
+                        x = (x ^ (x >> np.uint32(13))) * np.uint32(0xC2B2AE35)
+                        x = x ^ (x >> np.uint32(16))
+                        full[pid, hi * hg:(hi + 1) * hg,
+                             i * bq:(i + 1) * bq, j * bk:(j + 1) * bk] = (
+                            x >= np.uint32(int(rate * 4294967296.0)))
     return full / (1.0 - rate)
 
 
