@@ -225,8 +225,13 @@ def _head_group(h: int) -> int:
 
 def _tile_keep(seed_ref, hi, i, j, h, bq, bk, rate, interpret):
     """Dropout keep-mask for head-group hi / q-tile i / k-tile j, in
-    {0, 1/(1-rate)}."""
-    seed = seed_ref[pl.program_id(0)]
+    {0, 1/(1-rate)} (reads the per-example seed via program_id — must be
+    called at kernel top level, not inside lax control flow)."""
+    return _tile_keep_from(seed_ref[pl.program_id(0)], hi, i, j, h, bq, bk,
+                           rate, interpret)
+
+
+def _tile_keep_from(seed, hi, i, j, h, bq, bk, rate, interpret):
     if interpret:
         ctr = jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 0) * (bq * bk)
         ctr += jax.lax.broadcasted_iota(jnp.uint32, (h, bq, bk), 1) * bk
@@ -377,6 +382,231 @@ def _tiled_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
     def _flush():
         dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# ------------------------------------------------------- chunked kernels
+#
+# Middle regime between the single-block kernel (whole [H, L, L] score in
+# VMEM) and the fully streamed tiles above: one program per (batch,
+# head-group) holds the ENTIRE padded q/k/v (and, in the backward, g/dq/
+# dk/dv) for its head group in VMEM — [hg, Lp, D] is only ~hg*Lp*128 bytes
+# in bf16 — and loops over (q-chunk, k-chunk) score tiles internally.
+# This kills the per-program launch/DMA overhead that made the streamed
+# grid 2x slower than XLA at ViT-L@336 (1600+ programs of ~33 MF each),
+# and the single backward kernel computes dq, dk AND dv from one score
+# recompute per tile instead of two.
+
+_CHUNK = 128
+
+
+def _chunk_head_group(h: int) -> int:
+    """Heads per chunked-kernel program: ≤2.  Mosaic's scoped-vmem stack
+    accounting for the doubly-nested fori_loop kernels charges ~5x the f32
+    temp estimate, nearly independent of the input dtype (measured on v5e
+    at L=640: 16.09M for f32 and 16.41M for bf16 at hg=4 — both over the
+    16 MiB limit), so the chunked family runs hg=2."""
+    return 2 if h % 2 == 0 else 1
+
+
+def _chunk_budget(h, lq, lk, d, itemsize):
+    hg = _chunk_head_group(h)
+    lqp, lkp = _round_up(lq, _CHUNK), _round_up(lk, _CHUNK)
+    refs = 7 * hg * max(lqp, lkp) * d * itemsize  # q,k,v,g,dq,dk,dv
+    temps = 6 * hg * _CHUNK * _CHUNK * 4          # s/p/dpd/dp/ds/keep (f32)
+    # Mosaic's measured stack accounting on v5e: ~5x the temp estimate
+    # (fori-carried lifetimes), ~2x the ref windows (double buffering)
+    return 5 * temps + 2 * refs
+
+
+def fits_chunked(h: int, lq: int, lk: int, d: int,
+                 itemsize: int = 2) -> bool:
+    # 14 MiB of the 16 MiB scoped-vmem limit, against the CALIBRATED
+    # budget above (hg=2, L=640: 6.2M bf16 / 8.5M f32 — both chunk)
+    return _chunk_budget(h, lq, lk, d, itemsize) <= 14 * 2 ** 20
+
+
+def _chunk_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                      out_ref, lse_ref, *, rate, interpret):
+    hi = pl.program_id(1)
+    ex_seed = seed_ref[pl.program_id(0)]  # program_id illegal inside fori
+    h, lqp, d = q_ref.shape[1:]  # [hg, Lqp, D]
+    lkp = k_ref.shape[2]
+    nq, nk = lqp // _CHUNK, lkp // _CHUNK
+    scale = 1.0 / (d ** 0.5)
+
+    def q_body(qi, _):
+        q = q_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :]
+
+        def k_body(kj, carry):
+            m, ssum, o = carry
+            k = k_ref[0, :, pl.ds(kj * _CHUNK, _CHUNK), :]
+            v = v_ref[0, :, pl.ds(kj * _CHUNK, _CHUNK), :]
+            pad = mask_ref[0, 0, pl.ds(kj * _CHUNK, _CHUNK)] != 0
+            s = _bh_dot(q, k, 2, 2) * scale
+            s = jnp.where(pad[None, None, :], -jnp.inf, s)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+            p = jnp.where(jnp.isfinite(s), jnp.exp(s - safe_m[..., None]),
+                          0.0)
+            ssum = ssum * alpha + jnp.sum(p, axis=-1)
+            if rate > 0.0:
+                p = p * _tile_keep_from(ex_seed, hi, qi, kj, h, _CHUNK,
+                                        _CHUNK, rate, interpret)
+            o = o * alpha[..., None] + _bh_dot(p.astype(v.dtype), v, 2, 1)
+            return m_new, ssum, o
+
+        m, ssum, o = jax.lax.fori_loop(
+            0, nk, k_body,
+            (jnp.full((h, _CHUNK), -jnp.inf, jnp.float32),
+             jnp.zeros((h, _CHUNK), jnp.float32),
+             jnp.zeros((h, _CHUNK, d), jnp.float32)))
+        safe = jnp.where(ssum > 0, ssum, 1.0)
+        out_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :] = (
+            o / safe[..., None]).astype(out_ref.dtype)
+        # lse rides in a [B, H, Lqp, 1] array: a (1, hg, Lqp) block violates
+        # the (8,128)-divisible-or-full rule when hg < 8, a trailing
+        # singleton dim satisfies it ("equal to the respective dimension")
+        lse_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), 0] = jnp.where(
+            ssum > 0, m + jnp.log(safe), -jnp.inf)
+        return 0
+
+    jax.lax.fori_loop(0, nq, q_body, 0)
+
+
+def _chunk_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
+                      delta_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                      *, rate, interpret):
+    hi = pl.program_id(1)
+    ex_seed = seed_ref[pl.program_id(0)]
+    h, lqp, d = q_ref.shape[1:]
+    lkp = k_ref.shape[2]
+    nq, nk = lqp // _CHUNK, lkp // _CHUNK
+    scale = 1.0 / (d ** 0.5)
+
+    def zero_body(qi, _):
+        dq_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :] = jnp.zeros(
+            (h, _CHUNK, d), dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nq, zero_body, 0)
+
+    def k_body(kj, _):
+        k = k_ref[0, :, pl.ds(kj * _CHUNK, _CHUNK), :]
+        v = v_ref[0, :, pl.ds(kj * _CHUNK, _CHUNK), :]
+        pad = mask_ref[0, 0, pl.ds(kj * _CHUNK, _CHUNK)] != 0
+
+        def q_body(qi, carry):
+            dk_acc, dv_acc = carry
+            q = q_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :]
+            g = g_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :]
+            lse = lse_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), 0]
+            delta = delta_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), 0]
+            p, _ = _tile_p(q, k, pad, lse, d)
+            dpd = _bh_dot(g, v, 2, 2)
+            if rate > 0.0:
+                keep = _tile_keep_from(ex_seed, hi, qi, kj, h, _CHUNK,
+                                       _CHUNK, rate, interpret)
+                pd = p * keep
+                dp = dpd * keep
+            else:
+                pd, dp = p, dpd
+            dv_acc = dv_acc + _bh_dot(pd.astype(g.dtype), g, 1, 1)
+            ds = p * (dp - delta[..., None]) * scale
+            ds = ds.astype(k.dtype)
+            dk_acc = dk_acc + _bh_dot(ds, q, 1, 1)
+            dq_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :] = (
+                dq_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :]
+                .astype(jnp.float32)
+                + _bh_dot(ds, k, 2, 1)).astype(dq_ref.dtype)
+            return dk_acc, dv_acc
+
+        dk_acc, dv_acc = jax.lax.fori_loop(
+            0, nq, q_body,
+            (jnp.zeros((h, _CHUNK, d), jnp.float32),
+             jnp.zeros((h, _CHUNK, d), jnp.float32)))
+        dk_ref[0, :, pl.ds(kj * _CHUNK, _CHUNK), :] = dk_acc.astype(
+            dk_ref.dtype)
+        dv_ref[0, :, pl.ds(kj * _CHUNK, _CHUNK), :] = dv_acc.astype(
+            dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nk, k_body, 0)
+
+
+def _chunk_fwd_pallas(seed, q, k, v, mask3, rate, interpret):
+    b, h, lqp, d = q.shape
+    lkp = k.shape[2]
+    hg = _chunk_head_group(h)
+    qspec = pl.BlockSpec((1, hg, lqp, d), lambda bi, hi, *_: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, hg, lkp, d), lambda bi, hi, *_: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, lkp), lambda bi, hi, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, hg, lqp, 1), lambda bi, hi, *_: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out, lse4 = pl.pallas_call(
+        functools.partial(_chunk_fwd_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hg),
+            in_specs=[qspec, kspec, kspec, mspec],
+            out_specs=[qspec, lspec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lqp, 1), jnp.float32)],
+        interpret=interpret,
+    )(seed, q, k, v, mask3)
+    return out, lse4[..., 0]
+
+
+def _chunk_bwd_pallas(seed, q, k, v, mask3, lse, delta, g, rate, interpret):
+    b, h, lqp, d = q.shape
+    lkp = k.shape[2]
+    hg = _chunk_head_group(h)
+    qspec = pl.BlockSpec((1, hg, lqp, d), lambda bi, hi, *_: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, hg, lkp, d), lambda bi, hi, *_: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, lkp), lambda bi, hi, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, hg, lqp, 1), lambda bi, hi, *_: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_chunk_bwd_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hg),
+            in_specs=[qspec, kspec, kspec, mspec, lspec, lspec, qspec],
+            out_specs=[qspec, kspec, kspec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lkp, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, lkp, d), v.dtype)],
+        interpret=interpret,
+    )(seed, q, k, v, mask3, lse[..., None], delta[..., None], g)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_chunk_fwd(rate, interpret):
+    def impl(seed, q, k, v, mask3):
+        return _chunk_fwd_pallas(seed, q, k, v, mask3, rate, interpret)
+
+    return _make_partitioned(
+        impl, "b, b h q d, b h k d, b h k d, b m k -> b h q d, b h q", 2, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_chunk_bwd(rate, interpret):
+    def impl(seed, q, k, v, mask3, lse, delta, g):
+        return _chunk_bwd_pallas(seed, q, k, v, mask3, lse, delta, g,
+                                 rate, interpret)
+
+    return _make_partitioned(
+        impl,
+        "b, b h q d, b h k d, b h k d, b m k, b h q, b h q, b h q d "
+        "-> b h q d, b h k d, b h k d", 1, 2)
 
 
 def _tiled_fwd_pallas(seed, q, k, v, mask3, rate, interpret):
@@ -597,8 +827,8 @@ def _flash_fwd(q, k, v, padding_mask, seed, dropout_rate, interpret):
         out, lse = _partitioned_fwd(float(dropout_rate), interpret)(
             seed, q, k, v, padding_mask)
         return out, (q, k, v, padding_mask, seed, lse, None)
-    # tiled path: pad both sequence axes to tile multiples (padded keys are
-    # masked; padded query rows are sliced off and their grads are zero)
+    # chunked/tiled paths: pad both sequence axes to tile multiples (padded
+    # keys are masked; padded query rows are sliced off, their grads zero)
     lqp, lkp = _round_up(lq, _TILE_Q), _round_up(lk, _TILE_K)
     qp = _pad_axis(q, 2, lqp)
     kp = _pad_axis(k, 2, lkp)
@@ -606,8 +836,11 @@ def _flash_fwd(q, k, v, padding_mask, seed, dropout_rate, interpret):
     maskp = _pad_axis(padding_mask, 2, lkp)
     if lkp != lk:
         maskp = maskp.at[:, :, lk:].set(1)
-    outp, lsep = _partitioned_tiled_fwd(float(dropout_rate), interpret)(
-        seed, qp, kp, vp, maskp)
+    if fits_chunked(h, lq, lk, d, q.dtype.itemsize):
+        fwd = _partitioned_chunk_fwd(float(dropout_rate), interpret)
+    else:
+        fwd = _partitioned_tiled_fwd(float(dropout_rate), interpret)
+    outp, lsep = fwd(seed, qp, kp, vp, maskp)
     out = outp[:, :, :lq]
     # residuals keep the UNPADDED operands (bwd re-pads) so dq/dk/dv slice
     # back trivially; `out` rides along for the delta = rowsum(g * out)
@@ -639,8 +872,11 @@ def _flash_bwd(dropout_rate, interpret, res, g):
         maskp = maskp.at[:, :, lk:].set(1)
     gp = _pad_axis(g, 2, lqp)
     deltap = _pad_axis(delta, 2, lqp)
-    dq, dk, dv = _partitioned_tiled_bwd(float(dropout_rate), interpret)(
-        seed, qp, kp, vp, maskp, lse, deltap, gp)
+    if fits_chunked(h, lq, lk, d, q.dtype.itemsize):
+        bwd = _partitioned_chunk_bwd(float(dropout_rate), interpret)
+    else:
+        bwd = _partitioned_tiled_bwd(float(dropout_rate), interpret)
+    dq, dk, dv = bwd(seed, qp, kp, vp, maskp, lse, deltap, gp)
     return dq[:, :, :lq], dk[:, :, :lk], dv[:, :, :lk], None, None
 
 

@@ -1,8 +1,11 @@
 """Stepwise tiled-kernel bring-up on the chip: tiny multi-tile shapes,
 unbuffered, one stage at a time to isolate compile hangs."""
+import faulthandler
 import sys
 import time
 from pathlib import Path
+
+faulthandler.dump_traceback_later(420, repeat=True)
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

@@ -72,21 +72,52 @@ def main():
                                 ** 2), argnums=(0,)))(q, k, v)
     print("dropout grad finite:", bool(jnp.all(jnp.isfinite(gd[0]))))
 
-    # timing: tiled kernel vs XLA fwd+bwd at ViT-L blocks, bs32
+    # bf16 chunked parity smoke check (bf16 is the production tower dtype
+    # and dispatches to the chunked kernel at this shape; exact parity is
+    # pinned by the interpret-mode tests)
+    from leccr_tpu.ops import flash_attention as fa
+    assert fa.fits_chunked(h, l, l, d, 2), "bf16 should dispatch chunked"
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ob = jax.jit(lambda q, k, v: flash_tower_attention(q, k, v, mask, 0,
+                                                       0.0))(qb, kb, vb)
+    wb = jax.jit(lambda q, k, v: xla_attention(q, k, v, mask))(qb, kb, vb)
+    print("bf16 chunked fwd maxdiff:",
+          float(jnp.max(jnp.abs(ob.astype(jnp.float32) - wb))))
+    gb = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(flash_tower_attention(q, k, v, mask, 0, 0.0)
+                                .astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2)))(qb, kb, vb)
+    print("bf16 chunked grads finite:",
+          all(bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
+              for x in gb))
+
+    # timing: chunked vs streamed-tiled vs XLA fwd+bwd at ViT-L blocks
     bt = 32
     qt = jnp.asarray(rs.randn(bt, h, l, d), jnp.bfloat16)
     kt = jnp.asarray(rs.randn(bt, h, l, d), jnp.bfloat16)
     vt = jnp.asarray(rs.randn(bt, h, l, d), jnp.bfloat16)
 
-    f_tiled = jax.jit(jax.grad(
-        lambda q, k, v: jnp.sum(
-            flash_tower_attention(q, k, v, None, 0, 0.0)
-            .astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
+    def flash_loss(q, k, v):
+        o = flash_tower_attention(q, k, v, None, 0, 0.0)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    f_chunked = jax.jit(jax.grad(flash_loss, argnums=(0, 1, 2)))
+
+    def tiled_only(q, k, v):
+        saved = fa.fits_chunked
+        fa.fits_chunked = lambda *a, **k2: False
+        try:
+            return jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fa.fits_chunked = saved
+
+    f_tiled = jax.jit(tiled_only)
     f_xla = jax.jit(jax.grad(
         lambda q, k, v: jnp.sum(
             xla_attention(q, k, v, None) ** 2), argnums=(0, 1, 2)))
 
-    for name, f in [("tiled", f_tiled), ("xla", f_xla)]:
+    for name, f in [("chunked", f_chunked), ("tiled", f_tiled),
+                    ("xla", f_xla)]:
         r = f(qt, kt, vt)
         _ = float(jnp.sum(r[0].astype(jnp.float32)))  # barrier
         t0 = time.time()

@@ -150,14 +150,12 @@ def test_padded_keys_get_no_attention(qkv):
 # ------------------------------------------------------- Lk-tiled kernels
 
 
-def _tile_keep_np(seed, b, h, lqp, lkp, bq, bk, rate):
+def _tile_keep_np(seed, b, h, lqp, lkp, bq, bk, rate, hg):
     """Numpy replica of flash_attention._tile_keep (interpret hash) over the
     padded (head-group, q-tile, k-tile) grid, assembled into a full
     [B, H, Lqp, Lkp] keep mask.  The [B] per-example seeds mirror
-    _example_seeds; heads are grouped as _head_group(h) does."""
-    from leccr_tpu.ops.flash_attention import _head_group
-
-    hg = _head_group(h)
+    _example_seeds; `hg` is the head-group width of the kernel family under
+    test (_head_group for tiled, _chunk_head_group for chunked)."""
     full = np.zeros((b, h, lqp, lkp), np.float32)
     hh, qq, kk = np.meshgrid(np.arange(hg), np.arange(bq), np.arange(bk),
                              indexing="ij")
@@ -181,12 +179,19 @@ def _tile_keep_np(seed, b, h, lqp, lkp, bq, bk, rate):
     return full / (1.0 - rate)
 
 
-@pytest.fixture()
-def force_tiled(monkeypatch):
-    """Force the Lk-tiled dispatch at small test shapes."""
+@pytest.fixture(params=["chunked", "tiled"])
+def force_tiled(monkeypatch, request):
+    """Force the long-sequence dispatch at small test shapes — both the
+    chunked (whole-sequence-in-VMEM, looped) and the fully streamed tiled
+    kernel families.  Yields that family's head-group function (the
+    dropout-mask oracle needs it)."""
     from leccr_tpu.ops import flash_attention as fa
 
     monkeypatch.setattr(fa, "fits_vmem", lambda *a: False)
+    if request.param == "tiled":
+        monkeypatch.setattr(fa, "fits_chunked", lambda *a, **k: False)
+        return fa._head_group
+    return fa._chunk_head_group
 
 
 @pytest.fixture(scope="module")
@@ -249,7 +254,8 @@ def test_tiled_dropout_grads_match_autodiff(force_tiled, qkv_big):
     lqp = -(-lq // _TILE_Q) * _TILE_Q
     lkp = -(-lk // _TILE_K) * _TILE_K
     keep = jnp.asarray(
-        _tile_keep_np(seed, b, h, lqp, lkp, _TILE_Q, _TILE_K, rate)
+        _tile_keep_np(seed, b, h, lqp, lkp, _TILE_Q, _TILE_K, rate,
+                      force_tiled(h))
         [:, :, :lq, :lk])
 
     def mine(q, k, v):

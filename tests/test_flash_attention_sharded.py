@@ -48,6 +48,39 @@ def test_batch_sharded_inputs_match_single_device():
     assert "all-gather" not in hlo, "kernel got replicated under the mesh"
 
 
+def test_long_seq_families_sharded_match_single_device(monkeypatch):
+    """The chunked and streamed-tiled dispatches carry the same
+    custom_partitioning rule; pin value parity under a batch-sharded mesh
+    for both (monkeypatched guards force each family at test shapes)."""
+    from leccr_tpu.ops import flash_attention as fa
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    rs = np.random.RandomState(2)
+    q = rs.randn(B, H, L, D).astype(np.float32)
+    k = rs.randn(B, H, L, D).astype(np.float32)
+    v = rs.randn(B, H, L, D).astype(np.float32)
+    mask = np.zeros((B, L), np.int32)
+    mask[:, -3:] = 1
+    sh4 = NamedSharding(mesh, P("data"))
+    sh2 = NamedSharding(mesh, P("data", None))
+
+    for family in ("chunked", "tiled"):
+        monkeypatch.setattr(fa, "fits_vmem", lambda *a: False)
+        if family == "tiled":
+            monkeypatch.setattr(fa, "fits_chunked", lambda *a, **kw: False)
+        want = np.asarray(flash_tower_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask), 0, 0.0, True))
+        out = jax.jit(
+            lambda a, b, c, m: flash_tower_attention(a, b, c, m, 0, 0.0,
+                                                     True))(
+            jax.device_put(q, sh4), jax.device_put(k, sh4),
+            jax.device_put(v, sh4), jax.device_put(mask, sh2))
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-6,
+                                   err_msg=family)
+
+
 def test_sharded_grads_match_single_device():
     devs = jax.devices()
     mesh = Mesh(np.array(devs[:8]), ("data",))
