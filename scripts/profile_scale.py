@@ -51,9 +51,11 @@ def main():
     m.caption_interaction_layer = 2
     m.dtype = "bfloat16"
     m.remat = "--no-remat" not in sys.argv
-    if "--fused" in sys.argv:
+    if "--fused" in sys.argv or "--fused-text" in sys.argv:
         m.text.fused_attention = True
-        m.vision.fused_attention = True  # 577 tokens -> Lk-tiled kernels
+        # 577 tokens -> chunked/tiled kernels; measured SLOWER than XLA at
+        # ViT-L under remat (1462.8 vs 885 ms @ bs32) — see DESIGN.md
+        m.vision.fused_attention = "--fused" in sys.argv
     model = LECCRModel(m)
 
     rs = np.random.RandomState(0)

@@ -33,7 +33,7 @@ def main():
     cfg.model.scan_layers = "--scan" in sys.argv
     cfg.model.remat = cfg.model.scan_layers or "--remat" in sys.argv
     if "--fused" in sys.argv:
-        cfg.model.text.fused_attention = True
+        cfg.model.text.fused_attention = "--xla-text" not in sys.argv
         cfg.model.vision.fused_attention = True
     model = LECCRModel(cfg.model)
     rs = np.random.RandomState(0)
@@ -127,6 +127,58 @@ def main():
               f"{achieved/1e12:.1f} TF/s achieved, "
               f"MFU {100*achieved/peak:.1f}% of v5e bf16 peak")
     print({k: float(v) for k, v in losses.items() if k.startswith('loss')})
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0)
+    lim = stats.get("bytes_limit", 0)
+    if peak:
+        print(f"peak HBM: {peak/2**30:.2f} GiB of {lim/2**30:.2f} GiB limit")
+
+    if "--trace" in sys.argv:
+        import shutil
+
+        logdir = "/tmp/leccr_trace"
+        shutil.rmtree(logdir, ignore_errors=True)
+        jax.profiler.start_trace(logdir)
+        for i in range(3):
+            params, opt_state, losses = jstep(
+                params, opt_state, dict(dev_batch),
+                jax.random.fold_in(rng, 100 + i))
+        _ = float(losses["total"])
+        jax.profiler.stop_trace()
+        print_hlo_stats(logdir)
+
+
+def print_hlo_stats(logdir, top=40):
+    """Offline xprof: top HLO ops by self device time over the traced steps."""
+    import csv
+    import glob
+    import io
+
+    from xprof.convert import raw_to_tool_data as conv
+
+    paths = glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
+    data, _ = conv.xspace_to_tool_data(paths, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    rows = list(csv.reader(io.StringIO(data)))
+    head = rows[0]
+    if "Total time (us)" not in head:
+        print("hlo_stats columns:", head)
+        t_candidates = [i for i, c in enumerate(head) if "time" in c.lower()]
+        t_col = t_candidates[0]
+    else:
+        t_col = head.index("Total time (us)")
+    occ_col = head.index("#Occurrences") if "#Occurrences" in head else None
+    cat_col = head.index("HLO op category") if "HLO op category" in head else 0
+    name_col = head.index("HLO op expression") if "HLO op expression" in head \
+        else min(2, len(head) - 1)
+    body = sorted(rows[1:], key=lambda r: -float(r[t_col] or 0))
+    total = sum(float(r[t_col] or 0) for r in body)
+    print(f"hlo_stats: {total/3:.0f} us/step device total over 3 steps")
+    for r in body[:top]:
+        occ = f" x{r[occ_col]}" if occ_col else ""
+        print(f"{float(r[t_col])/3:9.1f} us  {r[cat_col][:28]:28s}{occ}  "
+              f"{r[name_col][:110]}")
 
 
 if __name__ == "__main__":
