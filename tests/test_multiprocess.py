@@ -46,6 +46,14 @@ WORKER = textwrap.dedent("""
     stats = Trainer(cfg).fit()
     with open(f"{out_path}.{pid}", "w") as f:
         json.dump(stats, f)
+    # the coordination-service Shutdown:: barrier can time out under heavy
+    # host load (seen in full-suite runs) AFTER all real work is done and
+    # verified via the stats files -- tolerate it instead of failing
+    try:
+        jax.distributed.shutdown()
+    except Exception as e:  # barrier timeout / peer disconnect
+        print("ignoring shutdown flake:", e)
+    os._exit(0)
 """)
 
 
