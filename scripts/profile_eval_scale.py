@@ -14,9 +14,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import os
+
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
+if os.environ.get("LECCR_FORCE_CPU") == "1":
+    # CPU smoke mode (e.g. while the TPU tunnel is down): must pin the
+    # platform BEFORE backend init, and must NOT enable the persistent
+    # cache (XLA:CPU AOT reload can SIGABRT — see the verify skill)
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
 
 import jax.numpy as jnp
 import numpy as np
