@@ -111,6 +111,38 @@ class _TextWrap:
 
 
 def sync_dir_to_remote(local_dir: str, remote_dir: str) -> None:
-    """Upload a checkpoint directory to remote storage (rank-0 callers)."""
+    """Mirror the CONTENTS of local_dir into remote_dir (rank-0 callers).
+
+    Child-by-child: `hdfs dfs -put -f <dir> <existing-remote-dir>` NESTS
+    the source under its basename on real HDFS, so a second epoch's sync
+    of `checkpoints/` would create `checkpoints/checkpoints/…`.  Files are
+    put directly (`-put -f` overwrites without nesting); directories
+    recurse, so `remote_dir/<name>` always equals `local_dir/<name>` —
+    the layout `run.py`'s resume staging downloads back."""
     makedirs(remote_dir)
-    copy(local_dir, remote_dir)
+    base = remote_dir.rstrip("/")
+    for name in sorted(os.listdir(local_dir)):
+        src = os.path.join(local_dir, name)
+        if os.path.isdir(src):
+            sync_dir_to_remote(src, f"{base}/{name}")
+        else:
+            copy(src, f"{base}/{name}")
+
+
+def stage_remote_dir(remote_dir: str, local_dir: str) -> None:
+    """Download the CONTENTS of remote_dir into local_dir (resume staging).
+
+    Per-child `-get` with a non-existent local target, so each child lands
+    at `local_dir/<name>` exactly — `-get <remote-dir> <existing-dir>`
+    would nest the whole tree under the remote basename and orbax would
+    never find `local_dir/checkpoints`.  Existing local children are
+    replaced (the remote copy is the source of truth on resume)."""
+    Path(local_dir).mkdir(parents=True, exist_ok=True)
+    for child in listdir(remote_dir):
+        name = child.rstrip("/").rsplit("/", 1)[-1]
+        target = os.path.join(local_dir, name)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        elif os.path.exists(target):
+            os.remove(target)
+        copy(child, target)

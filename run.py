@@ -98,8 +98,10 @@ def main():
         if args.resume and not os.path.exists(
                 os.path.join(local_out, "checkpoints")) and uio.exists(
                 args.output_dir):
-            Path(local_out).mkdir(parents=True, exist_ok=True)
-            uio.copy(args.output_dir, local_out)
+            # contents-mirroring download: local_out/<name> == remote/<name>
+            # (a whole-dir -get into an existing dir would nest the tree
+            # under the remote basename and orbax would miss `checkpoints`)
+            uio.stage_remote_dir(args.output_dir, local_out)
             print(f"### staged {args.output_dir} -> {local_out}", flush=True)
         args.output_dir = local_out
     if args.seed is not None:

@@ -49,7 +49,17 @@ elif op == "-ls":
         print(f"-rw-r--r--   1 u g {st.st_size} 2026-01-01 00:00 "
               f"{base.rstrip('/')}/{name}")
 elif op == "-get":
-    shutil.copy2(to_local(args[1]), args[2])
+    # real-HDFS semantics: copying into an EXISTING directory nests the
+    # source under its basename; a non-existent target gets the exact name
+    s, d = to_local(args[1]), args[2]
+    if os.path.isdir(s):
+        dst = (os.path.join(d, os.path.basename(s.rstrip("/")))
+               if os.path.isdir(d) else d)
+        shutil.copytree(s, dst, dirs_exist_ok=True)
+    else:
+        if os.path.isdir(d):
+            d = os.path.join(d, os.path.basename(s))
+        shutil.copy2(s, d)
 elif op == "-put":
     force = args[1] == "-f"
     rest = args[2:] if force else args[1:]
@@ -159,14 +169,47 @@ def test_copy_all_four_directions(hdfs, tmp_path):
 
 
 def test_sync_dir_to_remote(hdfs, tmp_path):
+    """Contents mirroring: remote/<name> == local/<name>, no basename
+    nesting, and a SECOND sync must not create checkpoints/checkpoints
+    (the `-put dir existing-dir` trap on real HDFS)."""
     ckpt = tmp_path / "ckpt"
     (ckpt / "10").mkdir(parents=True)
     (ckpt / "10" / "state.bin").write_bytes(b"\x01\x02")
     (ckpt / "best.json").write_text("{}")
     uio.sync_dir_to_remote(str(ckpt), "hdfs://nn/runs/exp1")
-    assert (hdfs / "runs" / "exp1" / "ckpt" / "10"
-            / "state.bin").read_bytes() == b"\x01\x02"
-    assert (hdfs / "runs" / "exp1" / "ckpt" / "best.json").exists()
+    exp = hdfs / "runs" / "exp1"
+    assert (exp / "10" / "state.bin").read_bytes() == b"\x01\x02"
+    assert (exp / "best.json").exists()
+    # second sync after new content: updates in place, no nesting
+    (ckpt / "10" / "state.bin").write_bytes(b"\x03")
+    (ckpt / "20").mkdir()
+    (ckpt / "20" / "state.bin").write_bytes(b"\x04")
+    uio.sync_dir_to_remote(str(ckpt), "hdfs://nn/runs/exp1")
+    assert (exp / "10" / "state.bin").read_bytes() == b"\x03"
+    assert (exp / "20" / "state.bin").read_bytes() == b"\x04"
+    assert not (exp / "10" / "10").exists()
+    assert not (exp / "ckpt").exists()
+
+
+def test_stage_remote_dir_round_trip(hdfs, tmp_path):
+    """run.py --resume staging: upload a stage dir, wipe it locally, stage
+    it back down — checkpoints/log.txt must land at local/<name> exactly
+    (orbax looks for local/checkpoints)."""
+    stage = tmp_path / "stage"
+    (stage / "checkpoints" / "10").mkdir(parents=True)
+    (stage / "checkpoints" / "10" / "state.bin").write_bytes(b"\x07")
+    (stage / "log.txt").write_text("hello\n")
+    uio.sync_dir_to_remote(str(stage), "hdfs://nn/runs/exp2")
+
+    fresh = tmp_path / "stage2"
+    uio.stage_remote_dir("hdfs://nn/runs/exp2", str(fresh))
+    assert (fresh / "checkpoints" / "10" / "state.bin").read_bytes() == b"\x07"
+    assert (fresh / "log.txt").read_text() == "hello\n"
+    # staging over an existing tree replaces it (remote = source of truth)
+    (fresh / "log.txt").write_text("stale")
+    uio.stage_remote_dir("hdfs://nn/runs/exp2", str(fresh))
+    assert (fresh / "log.txt").read_text() == "hello\n"
+    assert not (fresh / "exp2").exists()  # no basename nesting
 
 
 def test_shim_is_actually_invoked(hdfs):
@@ -205,9 +248,8 @@ def test_trainer_syncs_outputs_to_hdfs(hdfs, tmp_path):
     trainer.fit()
 
     remote = hdfs / "runs" / "exp_sync"
-    assert (remote / "stage" / "log.txt").exists() or (
-        remote / "log.txt").exists()
-    # checkpoints dir made it up (the -put of a directory copies the tree)
-    found = list(remote.rglob("checkpoints"))
-    assert found, f"no checkpoints dir under {remote}"
-    assert any(remote.rglob("best.json")) or any(remote.rglob("log.txt"))
+    # contents mirroring: remote/<name> == stage/<name>, no nesting
+    assert (remote / "log.txt").exists()
+    assert (remote / "checkpoints").is_dir()
+    assert not (remote / "stage").exists()
+    assert any((remote / "checkpoints").iterdir())
