@@ -19,8 +19,15 @@ from typing import IO, Iterator, List
 _HDFS = "hdfs://"
 
 
-def _hdfs_cmd(*args: str) -> subprocess.CompletedProcess:
-    return subprocess.run(["hdfs", "dfs", *args], capture_output=True)
+def _hdfs_cmd(*args: str, check: bool = False) -> subprocess.CompletedProcess:
+    proc = subprocess.run(["hdfs", "dfs", *args], capture_output=True)
+    if check and proc.returncode != 0:
+        # a silently-failed -get/-put would surface much later as a missing
+        # or empty file (e.g. real -get refuses existing targets)
+        raise IOError(
+            f"hdfs dfs {' '.join(args)} failed rc={proc.returncode}: "
+            f"{proc.stderr.decode(errors='replace').strip()[-500:]}")
+    return proc
 
 
 def exists(path: str) -> bool:
@@ -31,14 +38,14 @@ def exists(path: str) -> bool:
 
 def makedirs(path: str) -> None:
     if path.startswith(_HDFS):
-        _hdfs_cmd("-mkdir", "-p", path)
+        _hdfs_cmd("-mkdir", "-p", path, check=True)
     else:
         Path(path).mkdir(parents=True, exist_ok=True)
 
 
 def listdir(path: str) -> List[str]:
     if path.startswith(_HDFS):
-        out = _hdfs_cmd("-ls", path)
+        out = _hdfs_cmd("-ls", path, check=True)
         files = []
         for line in out.stdout.decode().splitlines():
             parts = line.split()
@@ -51,11 +58,11 @@ def listdir(path: str) -> List[str]:
 def copy(src: str, dst: str) -> None:
     s_h, d_h = src.startswith(_HDFS), dst.startswith(_HDFS)
     if s_h and not d_h:
-        _hdfs_cmd("-get", src, dst)
+        _hdfs_cmd("-get", src, dst, check=True)
     elif d_h and not s_h:
-        _hdfs_cmd("-put", "-f", src, dst)
+        _hdfs_cmd("-put", "-f", src, dst, check=True)
     elif s_h and d_h:
-        _hdfs_cmd("-cp", src, dst)
+        _hdfs_cmd("-cp", src, dst, check=True)
     else:
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)

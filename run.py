@@ -75,6 +75,10 @@ def main():
             raise FileNotFoundError(f"config not found: {config_path}")
         local = tempfile.NamedTemporaryFile(
             suffix=Path(config_path).suffix or ".yaml", delete=False)
+        local.close()
+        # real `hdfs dfs -get` refuses to overwrite an existing file — the
+        # tempfile reserves the name, so remove it before staging
+        os.unlink(local.name)
         uio.copy(config_path, local.name)
         config_path = local.name
     cfg = load_config(config_path)

@@ -59,6 +59,8 @@ elif op == "-get":
     else:
         if os.path.isdir(d):
             d = os.path.join(d, os.path.basename(s))
+        if os.path.exists(d):
+            sys.exit(f"get: `{d}': File exists")  # real -get has no -f
         shutil.copy2(s, d)
 elif op == "-put":
     force = args[1] == "-f"
@@ -210,6 +212,21 @@ def test_stage_remote_dir_round_trip(hdfs, tmp_path):
     uio.stage_remote_dir("hdfs://nn/runs/exp2", str(fresh))
     assert (fresh / "log.txt").read_text() == "hello\n"
     assert not (fresh / "exp2").exists()  # no basename nesting
+
+
+def test_get_onto_existing_file_raises(hdfs, tmp_path):
+    """real `-get` has no -f: copying onto an existing local file fails —
+    and a failed transfer must RAISE, not silently leave a stale file
+    (run.py's config staging unlinks its tempfile for exactly this)."""
+    (hdfs / "cfg.yaml").write_text("a: 1\n")
+    target = tmp_path / "cfg.yaml"
+    target.write_text("stale")
+    with pytest.raises(IOError):
+        uio.copy("hdfs://nn/cfg.yaml", str(target))
+    assert target.read_text() == "stale"
+    target.unlink()
+    uio.copy("hdfs://nn/cfg.yaml", str(target))
+    assert target.read_text() == "a: 1\n"
 
 
 def test_shim_is_actually_invoked(hdfs):
