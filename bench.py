@@ -50,11 +50,42 @@ IMG_BS = int(os.environ.get("LECCR_BENCH_IMG_BS", 50))
 VOCAB = 119547
 
 
+def _probe_backend(timeout_s: float = 45.0) -> str | None:
+    """Backend platform name via a bounded subprocess probe, or None when no
+    backend comes up in time.  jax.devices() hangs for minutes when the TPU
+    tunnel is dead (the round-3 BENCH_r03 rc=1 after a long stall), so the
+    probe must never run in-process."""
+    import subprocess
+
+    timeout_s = float(os.environ.get("LECCR_PROBE_TIMEOUT", timeout_s))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if proc.returncode == 0:
+            return proc.stdout.strip().splitlines()[-1]
+    except Exception:
+        pass
+    return None
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache, TPU only — reloading XLA:CPU AOT
+    entries can SIGILL/abort on a host with a narrower feature set (same
+    gating as trainer.py)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_leccr")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def jax_eval_time(quick: bool = False) -> float:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from leccr_tpu.config import LECCRConfig
@@ -201,8 +232,7 @@ def jax_train_time(quick: bool = False):
     "image-text pairs/sec/chip" is bs / sec_per_step."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_leccr")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _enable_compile_cache()
     import jax.numpy as jnp  # noqa: F401
 
     from leccr_tpu.config import LECCRConfig
@@ -395,6 +425,21 @@ def main():
     ap.add_argument("--skip-train", action="store_true",
                     help="eval metric only (skip the train-step timing)")
     args = ap.parse_args()
+
+    backend = _probe_backend()
+    if backend is None:
+        # fast, parseable failure the driver can tell apart from a real
+        # perf regression (round-3 outage shipped a 30-line traceback)
+        print(json.dumps({
+            "metric": "train_pairs_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "image-text pairs/s/chip (NOT MEASURED)",
+            "vs_baseline": 0.0,
+            "error": "tpu_unavailable",
+            "detail": "bounded backend probe failed: jax.devices() did not "
+                      "come up in a 45s subprocess (dead axon tunnel?)",
+        }))
+        sys.exit(1)
 
     t_e2e, t_jax = jax_eval_time(quick=args.quick)
     if args.quick:
