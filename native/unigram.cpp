@@ -27,14 +27,34 @@
 namespace {
 
 struct UniTokenizer {
-  std::unordered_map<std::string, std::pair<int32_t, float>> pieces;
+  // scores stay double end-to-end: the Python tokenizer accumulates path
+  // scores as Python floats (doubles), and near-tied segmentations are
+  // common with duplicated scores in real sentencepiece vocabs
+  std::unordered_map<std::string, std::pair<int32_t, double>> pieces;
   int32_t byte_ids[256];
   bool has_bytes = false;
   int32_t cls_id = 0, pad_id = 1, sep_id = 2, unk_id = 3;
-  float unk_penalty = -10.0f;
+  double unk_penalty = -10.0;
   size_t max_piece_bytes = 1;
+  size_t max_piece_cps = 1;  // in codepoints, = Python max_piece_len
   bool lowercase = false;
 };
+
+// Python str.split() separator set (str.isspace() == true), enumerated
+// over the full codepoint range; tokenizers.py::UnigramTokenizer.tokenize
+// splits captions with str.split(), so the native path must match beyond
+// ASCII (e.g. U+00A0 in generated captions).
+bool uni_is_space(uint32_t cp) {
+  switch (cp) {
+    case 0x09: case 0x0A: case 0x0B: case 0x0C: case 0x0D:
+    case 0x1C: case 0x1D: case 0x1E: case 0x1F:
+    case 0x20: case 0x85: case 0xA0: case 0x1680:
+    case 0x2028: case 0x2029: case 0x202F: case 0x205F: case 0x3000:
+      return true;
+    default:
+      return cp >= 0x2000 && cp <= 0x200A;
+  }
+}
 
 uint32_t uni_lower(uint32_t cp) {
   const size_t n = sizeof(kLowerMap) / sizeof(kLowerMap[0]);
@@ -90,7 +110,7 @@ void uni_decode(const char* s, size_t len, std::vector<uint32_t>& out) {
   }
 }
 
-constexpr float kNegInf = -std::numeric_limits<float>::infinity();
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
 
 // Viterbi max-sum over piece log-probs on codepoint boundaries; unseen
 // characters fall back to their UTF-8 bytes (<0xXX> ids) or <unk>
@@ -109,21 +129,24 @@ void uni_viterbi(const UniTokenizer& tok, const std::string& word,
     bounds.push_back(i);
   }
   const size_t n = bounds.size() - 1;  // codepoints
-  std::vector<float> best(n + 1, kNegInf);
+  std::vector<double> best(n + 1, kNegInf);
   std::vector<int32_t> back_start(n + 1, -1);
   // back_ids: piece id, or -2 meaning "byte-fallback of that codepoint"
   std::vector<int32_t> back_id(n + 1, -1);
-  best[0] = 0.0f;
+  best[0] = 0.0;
   std::string sub;
   for (size_t end = 1; end <= n; ++end) {
-    for (size_t start = end; start-- > 0;) {
+    // ascending start with strict '>', exactly like tokenizers.py::_viterbi
+    // — on a tied score the SMALLEST start (longest piece) wins
+    size_t lo = end > tok.max_piece_cps ? end - tok.max_piece_cps : 0;
+    for (size_t start = lo; start < end; ++start) {
       size_t blen = bounds[end] - bounds[start];
-      if (blen > tok.max_piece_bytes) break;
+      if (blen > tok.max_piece_bytes) continue;
       if (best[start] == kNegInf) continue;
       sub.assign(word, bounds[start], blen);
       auto it = tok.pieces.find(sub);
       if (it == tok.pieces.end()) continue;
-      float cand = best[start] + it->second.second;
+      double cand = best[start] + it->second.second;
       if (cand > best[end]) {
         best[end] = cand;
         back_start[end] = static_cast<int32_t>(start);
@@ -165,33 +188,50 @@ void uni_tokenize(const UniTokenizer& tok, const char* text,
   const size_t len = std::strlen(text);
   std::string word;
   std::vector<uint32_t> cps;
-  size_t i = 0;
-  while (i <= len) {
-    char c = i < len ? text[i] : ' ';
-    // python str.split(): any unicode whitespace; ASCII whitespace covers
-    // the caption corpora (normalize_caption collapses whitespace first)
-    if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-        c == '\v') {
-      if (!word.empty()) {
-        std::string marked = "\xE2\x96\x81";  // U+2581 ▁
-        if (tok.lowercase) {
-          uni_decode(word.data(), word.size(), cps);
-          for (uint32_t cp : cps) {
-            if (cp == 0x130) { uni_append_cp(marked, 'i');
-                               uni_append_cp(marked, 0x307); continue; }
-            uni_append_cp(marked, uni_lower(cp));
-          }
-        } else {
-          marked += word;
-        }
-        uni_viterbi(tok, marked, out);
-        word.clear();
+  auto flush = [&]() {
+    if (word.empty()) return;
+    std::string marked = "\xE2\x96\x81";  // U+2581 ▁
+    if (tok.lowercase) {
+      uni_decode(word.data(), word.size(), cps);
+      for (uint32_t cp : cps) {
+        if (cp == 0x130) { uni_append_cp(marked, 'i');
+                           uni_append_cp(marked, 0x307); continue; }
+        uni_append_cp(marked, uni_lower(cp));
       }
     } else {
-      word.push_back(c);
+      marked += word;
     }
-    ++i;
+    uni_viterbi(tok, marked, out);
+    word.clear();
+  };
+  // split on Python str.split()'s full Unicode whitespace set: the train
+  // loader feeds RAW generated captions (no normalize_caption pass), so a
+  // U+00A0 must separate words exactly as the Python eval path does
+  size_t i = 0;
+  while (i < len) {
+    uint8_t b = static_cast<uint8_t>(text[i]);
+    uint32_t cp;
+    size_t nb;
+    if (b < 0x80) { cp = b; nb = 1; }
+    else if ((b >> 5) == 6) { cp = b & 0x1F; nb = 2; }
+    else if ((b >> 4) == 14) { cp = b & 0x0F; nb = 3; }
+    else if ((b >> 3) == 30) { cp = b & 0x07; nb = 4; }
+    else { cp = 0xFFFD; nb = 1; }
+    if (nb > 1) {
+      if (i + nb > len) { cp = 0xFFFD; nb = 1; }
+      else {
+        for (size_t k = 1; k < nb; ++k) {
+          uint8_t c = static_cast<uint8_t>(text[i + k]);
+          if ((c >> 6) != 2) { cp = 0xFFFD; nb = 1; break; }
+          cp = (cp << 6) | (c & 0x3F);
+        }
+      }
+    }
+    if (uni_is_space(cp)) flush();
+    else word.append(text + i, nb);  // raw bytes preserved for valid UTF-8
+    i += nb;
   }
+  flush();
 }
 
 }  // namespace
@@ -208,11 +248,13 @@ void* uni_create(const char** pieces, const int32_t* ids,
                  int32_t unk_id, double unk_penalty, int lowercase) {
   auto* tok = new UniTokenizer();
   tok->pieces.reserve(static_cast<size_t>(n) * 2);
+  std::vector<uint32_t> cps;
   for (int i = 0; i < n; ++i) {
     std::string p(pieces[i]);
     tok->max_piece_bytes = std::max(tok->max_piece_bytes, p.size());
-    tok->pieces.emplace(std::move(p),
-                        std::make_pair(ids[i], static_cast<float>(scores[i])));
+    uni_decode(p.data(), p.size(), cps);
+    tok->max_piece_cps = std::max(tok->max_piece_cps, cps.size());
+    tok->pieces.emplace(std::move(p), std::make_pair(ids[i], scores[i]));
   }
   for (int b = 0; b < 256; ++b) {
     tok->byte_ids[b] = byte_ids ? byte_ids[b] : -1;
@@ -222,7 +264,7 @@ void* uni_create(const char** pieces, const int32_t* ids,
   tok->pad_id = pad_id;
   tok->sep_id = sep_id;
   tok->unk_id = unk_id;
-  tok->unk_penalty = static_cast<float>(unk_penalty);
+  tok->unk_penalty = unk_penalty;
   tok->lowercase = lowercase != 0;
   return tok;
 }

@@ -177,6 +177,46 @@ def test_native_unigram_matches_python(uni_pair):
         np.testing.assert_array_equal(a_mask, b_mask)
 
 
+def test_native_unigram_unicode_whitespace(uni_pair):
+    """Python tokenize() splits with str.split() — ANY Unicode whitespace.
+    The train loader feeds raw generated captions (no normalize_caption
+    pass), so e.g. U+00A0 must separate words in the native encoder exactly
+    as it does in the Python eval path (advisor r3, medium)."""
+    py, nat = uni_pair
+    texts = [
+        "hello\u00a0world",            # NBSP
+        "a\u2009man\u3000rides",      # thin, ideographic space
+        "two\u2028dogs\u0085running",  # line sep, NEL
+        "\u00a0\u00a0he\u202f",       # narrow NBSP
+    ]
+    a_ids, a_mask = py.encode(texts, 16)
+    b_ids, b_mask = nat.encode(texts, 16)
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_array_equal(a_mask, b_mask)
+
+
+def test_native_unigram_tied_scores(tmp_path):
+    """Exactly tied segmentations (duplicated scores, common in real
+    sentencepiece vocabs) must resolve identically: ascending start scan
+    with strict '>' — the LONGEST piece wins a tie (advisor r3, low)."""
+    from leccr_tpu.data.tokenizers import UnigramTokenizer
+
+    # "▁abc" can split as ▁a+bc / ▁ab+c / ▁abc+nothing … with equal sums
+    lines = ["<s>\t0", "<pad>\t0", "</s>\t0", "<unk>\t0",
+             "▁a\t-2.0", "▁ab\t-4.0", "▁abc\t-6.0",
+             "a\t-2.0", "b\t-2.0", "c\t-2.0",
+             "ab\t-4.0", "bc\t-4.0", "abc\t-6.0"]
+    path = tmp_path / "tied.tsv"
+    path.write_text("\n".join(lines), encoding="utf-8")
+    py = UnigramTokenizer(str(path))
+    nat = native.NativeUnigramTokenizer(py)
+    texts = ["abc", "abcabc", "abc ab a", "aabbcc abcabcabc"]
+    a_ids, a_mask = py.encode(texts, 24)
+    b_ids, b_mask = nat.encode(texts, 24)
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_array_equal(a_mask, b_mask)
+
+
 def test_native_unigram_byte_fallback(tmp_path):
     """With <0xXX> byte pieces defined (sentencepiece --byte_fallback),
     unseen characters must emit their UTF-8 bytes identically in both
