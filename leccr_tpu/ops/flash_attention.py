@@ -411,7 +411,8 @@ def _chunk_head_group(h: int) -> int:
 def _chunk_budget(h, lq, lk, d, itemsize):
     hg = _chunk_head_group(h)
     lqp, lkp = _round_up(lq, _CHUNK), _round_up(lk, _CHUNK)
-    refs = 7 * hg * max(lqp, lkp) * d * itemsize  # q,k,v,g,dq,dk,dv
+    # q,k,v,g,dk,dv at io dtype + the dq accumulator block at f32
+    refs = (6 * itemsize + 4) * hg * max(lqp, lkp) * d
     temps = 6 * hg * _CHUNK * _CHUNK * 4          # s/p/dpd/dp/ds/keep (f32)
     # Mosaic's measured stack accounting on v5e: ~5x the temp estimate
     # (fori-carried lifetimes), ~2x the ref windows (double buffering)
@@ -421,7 +422,7 @@ def _chunk_budget(h, lq, lk, d, itemsize):
 def fits_chunked(h: int, lq: int, lk: int, d: int,
                  itemsize: int = 2) -> bool:
     # 14 MiB of the 16 MiB scoped-vmem limit, against the CALIBRATED
-    # budget above (hg=2, L=640: 6.2M bf16 / 8.5M f32 — both chunk)
+    # budget above (hg=2, L=640: 6.6M bf16 / 8.5M f32 — both chunk)
     return _chunk_budget(h, lq, lk, d, itemsize) <= 14 * 2 ** 20
 
 
@@ -515,10 +516,13 @@ def _chunk_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref,
             ds = p * (dp - delta[..., None]) * scale
             ds = ds.astype(k.dtype)
             dk_acc = dk_acc + _bh_dot(ds, q, 1, 1)
+            # dq_ref is the f32 accumulator (out_shape f32, cast to the io
+            # dtype by the caller): one partial per k-chunk must NOT round
+            # to bf16 every iteration (advisor r3; the tiled family
+            # likewise accumulates dq in f32)
             dq_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :] = (
                 dq_ref[0, :, pl.ds(qi * _CHUNK, _CHUNK), :]
-                .astype(jnp.float32)
-                + _bh_dot(ds, k, 2, 1)).astype(dq_ref.dtype)
+                + _bh_dot(ds, k, 2, 1))
             return dk_acc, dv_acc
 
         dk_acc, dv_acc = jax.lax.fori_loop(
@@ -573,7 +577,7 @@ def _chunk_bwd_pallas(seed, q, k, v, mask3, lse, delta, g, rate, interpret):
                          memory_space=pltpu.VMEM)
     lspec = pl.BlockSpec((1, hg, lqp, 1), lambda bi, hi, *_: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    dq, dk, dv = pl.pallas_call(
         functools.partial(_chunk_bwd_kernel, rate=rate, interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -581,11 +585,14 @@ def _chunk_bwd_pallas(seed, q, k, v, mask3, lse, delta, g, rate, interpret):
             in_specs=[qspec, kspec, kspec, mspec, lspec, lspec, qspec],
             out_specs=[qspec, kspec, kspec],
         ),
-        out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
+        # dq is f32: its VMEM output block doubles as the cross-k-chunk
+        # accumulator, rounded to the io dtype exactly once below
+        out_shape=[jax.ShapeDtypeStruct((b, h, lqp, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, h, lkp, d), k.dtype),
                    jax.ShapeDtypeStruct((b, h, lkp, d), v.dtype)],
         interpret=interpret,
     )(seed, q, k, v, mask3, lse[..., None], delta[..., None], g)
+    return dq.astype(q.dtype), dk, dv
 
 
 @functools.lru_cache(maxsize=None)
