@@ -117,23 +117,43 @@ class _TextWrap:
             yield line.decode()
 
 
-def sync_dir_to_remote(local_dir: str, remote_dir: str) -> None:
+def sync_dir_to_remote(local_dir: str, remote_dir: str,
+                       state: dict | None = None) -> int:
     """Mirror the CONTENTS of local_dir into remote_dir (rank-0 callers).
+    Returns the number of files uploaded.
 
     Child-by-child: `hdfs dfs -put -f <dir> <existing-remote-dir>` NESTS
     the source under its basename on real HDFS, so a second epoch's sync
     of `checkpoints/` would create `checkpoints/checkpoints/…`.  Files are
     put directly (`-put -f` overwrites without nesting); directories
     recurse, so `remote_dir/<name>` always equals `local_dir/<name>` —
-    the layout `run.py`'s resume staging downloads back."""
+    the layout `run.py`'s resume staging downloads back.
+
+    ``state`` (optional, mutable) maps remote path -> (size, mtime_ns) of
+    the last uploaded copy; pass the SAME dict across calls and unchanged
+    files are skipped, so the per-epoch sync cost is proportional to new
+    data instead of O(total checkpoint size) — the reference's Checkpointer
+    likewise uploads each epoch file once (utils/checkpointer.py:20-46).
+    Orbax never rewrites a committed step directory in place, so
+    size+mtime is a sound change signal here."""
     makedirs(remote_dir)
     base = remote_dir.rstrip("/")
+    uploaded = 0
     for name in sorted(os.listdir(local_dir)):
         src = os.path.join(local_dir, name)
         if os.path.isdir(src):
-            sync_dir_to_remote(src, f"{base}/{name}")
+            uploaded += sync_dir_to_remote(src, f"{base}/{name}", state)
         else:
-            copy(src, f"{base}/{name}")
+            dst = f"{base}/{name}"
+            st = os.stat(src)
+            sig = (st.st_size, st.st_mtime_ns)
+            if state is not None and state.get(dst) == sig:
+                continue
+            copy(src, dst)
+            uploaded += 1
+            if state is not None:
+                state[dst] = sig
+    return uploaded
 
 
 def stage_remote_dir(remote_dir: str, local_dir: str) -> None:
