@@ -183,11 +183,23 @@ class DataConfig:
     # per-epoch eval after the first skips host decode + the host->device
     # image upload entirely (at Multi30K scale that upload is 442 MB and
     # dominates eval wall time over a remote transport).  0 disables.
+    # Admission is FIRST-COME, whole-split, no eviction: the splits
+    # evaluated first own the budget for the run; later splits simply take
+    # the (correct, slower) uncached path each epoch.  Deliberate — every
+    # epoch evaluates all splits in the same order, so LRU would evict A to
+    # admit Z and then miss A again next epoch (thrash: nobody gets a hit),
+    # while first-come gives the admitted splits stable hits every epoch.
+    # Size the budget to the splits you eval most (or set 0) for
+    # multilingual-all runs; see DESIGN.md "Eval HBM cache admission".
     cache_eval_on_device_mb: int = 2048
     # synthetic dataset knobs (tests/bench)
     synthetic_size: int = 128
     synthetic_eval_images: int = 64
     synthetic_captions_per_image: int = 5
+    # concept-structured (color <-> word) synthetic data: held-out
+    # retrieval is learnable, so train-to-convergence checks can assert
+    # test sumR approaches its ceiling (see data/synthetic.py)
+    synthetic_learnable: bool = False
     seed: int = 42
 
 
@@ -213,6 +225,15 @@ class OptimConfig:
     # small-gradient params during the first steps.  Off by default (modern
     # semantics); switch on to reproduce reference trajectories exactly.
     legacy_eps: bool = False
+    # Storage dtype of the Adam moments ("float32" | "bfloat16").  With
+    # "bfloat16" the mu/nu trees are stored at half width — update math
+    # still runs in f32 and the params stay f32 master weights — halving
+    # the optimizer-state HBM read+write that round-3 xprof attribution
+    # identified as part of the train-step floor.  legacy_eps stores BOTH
+    # moments at the chosen dtype; the optax path casts mu only (optax
+    # adamw has no nu_dtype).  Changes trajectories at the rounding level:
+    # keep float32 for reference-parity runs, use bfloat16 for throughput.
+    moment_dtype: str = "float32"
 
 
 @dataclass

@@ -28,6 +28,38 @@ def _sentence(rs: np.random.RandomState, words: List[str], n=8) -> str:
     return " ".join(rs.choice(words, size=n))
 
 
+# --- learnable mode: concept-structured data so HELD-OUT retrieval can
+# converge.  Pure-noise images with word-salad captions only support
+# memorization, so eval sumR stays at chance forever; with one distinctive
+# color per concept and captions dominated by that concept's word, a model
+# that learns color<->word generalizes to unseen images and test sumR can
+# approach its 600 ceiling (the recipe-level convergence check the
+# reference gets implicitly from its 50-epoch eval loop,
+# image_Retrieval_caption.py:441-504).
+_CONCEPT_COLORS = np.array([
+    [220, 40, 40], [40, 200, 40], [40, 80, 220], [230, 220, 50],
+    [50, 220, 220], [220, 60, 220], [245, 150, 40], [245, 245, 245],
+], np.uint8)
+
+
+def _concept_image(rs: np.random.RandomState, concept: int,
+                   image_res: int) -> np.ndarray:
+    base = _CONCEPT_COLORS[concept % len(_CONCEPT_COLORS)].astype(np.int16)
+    noise = rs.randint(-25, 26, (image_res, image_res, 3)).astype(np.int16)
+    return np.clip(base[None, None] + noise, 0, 255).astype(np.uint8)
+
+
+def _concept_sentence(rs: np.random.RandomState, concept: int,
+                      words: List[str], n_filler: int = 3) -> str:
+    # concept words must be mutually distinct AND disjoint from filler, or
+    # a filler draw could make a caption's dominant word ambiguous
+    concept_word = words[concept % len(_CONCEPT_COLORS)]
+    filler = words[len(_CONCEPT_COLORS):]
+    toks = [concept_word] * 3 + list(rs.choice(filler, size=n_filler))
+    rs.shuffle(toks)
+    return " ".join(toks)
+
+
 def make_image_dataset(
     root: str,
     n_train: int = 32,
@@ -36,8 +68,15 @@ def make_image_dataset(
     image_res: int = 64,
     seed: int = 0,
     target_lang: str = "de",
+    learnable: bool = False,
 ) -> DataConfig:
-    """Create the dataset and return a DataConfig pointing at it."""
+    """Create the dataset and return a DataConfig pointing at it.
+
+    ``learnable=True`` structures the data so held-out retrieval converges:
+    image i carries concept ``i % 8`` as a distinctive color, and all its
+    captions are dominated by that concept's word (see _concept_sentence).
+    With ``n_eval == 8`` every eval image has a unique concept, so perfect
+    concept learning = perfect retrieval (test sumR -> 600)."""
     rs = np.random.RandomState(seed)
     root = Path(root)
     (root / "img_id").mkdir(parents=True, exist_ok=True)
@@ -49,15 +88,22 @@ def make_image_dataset(
 
     def write_split(name: str, ids: List[str], id_file: str):
         lines_en, lines_t = [], []
-        for img in ids:
-            arr = rs.randint(0, 255, (image_res, image_res, 3), np.uint8)
+        for i, img in enumerate(ids):
+            if learnable:
+                arr = _concept_image(rs, i, image_res)
+                gen = _concept_sentence(rs, i, _WORDS_EN, 5)
+            else:
+                arr = rs.randint(0, 255, (image_res, image_res, 3), np.uint8)
+                gen = _sentence(rs, _WORDS_EN, 10)
             Image.fromarray(arr).save(root / "images" / f"{img}.jpg")
-            (root / "caption" / f"{img}.txt").write_text(
-                _sentence(rs, _WORDS_EN, 10))
+            (root / "caption" / f"{img}.txt").write_text(gen)
             for c in range(caps_per_image):
-                lines_en.append(f"{img}#enc#{c} {_sentence(rs, _WORDS_EN)}")
-                lines_t.append(
-                    f"{img}#enc2{target_lang}#{c} {_sentence(rs, _WORDS_T)}")
+                en = (_concept_sentence(rs, i, _WORDS_EN) if learnable
+                      else _sentence(rs, _WORDS_EN))
+                tt = (_concept_sentence(rs, i, _WORDS_T) if learnable
+                      else _sentence(rs, _WORDS_T))
+                lines_en.append(f"{img}#enc#{c} {en}")
+                lines_t.append(f"{img}#enc2{target_lang}#{c} {tt}")
         (root / "TextData" / f"{name}_enc.caption.txt").write_text(
             "\n".join(lines_en))
         (root / "TextData" / f"{name}_enc2{target_lang}.caption.txt"

@@ -58,35 +58,50 @@ def classify_params(
 
 
 def _legacy_adamw(
-    lr_fn: Callable, b1: float, b2: float, eps: float, wd: float
+    lr_fn: Callable, b1: float, b2: float, eps: float, wd: float,
+    moment_dtype: Any = None,
 ) -> optax.GradientTransformation:
     """AdamW with the historical transformers(<4.46) update rule — the
     optimizer the reference actually runs (requirements.txt pins
     transformers 4.12; optim.py:63): eps is added to the UNCORRECTED
     sqrt(v) and the bias correction scales the step size.  Decoupled weight
     decay at rate lr*wd (the historical impl decays the post-update params;
-    doing it on pre-update params differs only at O(lr^2*wd))."""
+    doing it on pre-update params differs only at O(lr^2*wd)).
+
+    ``moment_dtype`` (e.g. jnp.bfloat16) stores mu AND nu at reduced width;
+    the moment math and the step itself stay f32 (f32 master params).  With
+    b2=0.98 the per-step nu increment is ~nu/50, well above bf16's ~nu/256
+    rounding floor, so the second moment keeps tracking."""
     import jax.numpy as jnp
+
+    def store(x):
+        return x if moment_dtype is None else x.astype(moment_dtype)
 
     def init(params):
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(jnp.zeros_like, params))
+            mu=jax.tree.map(lambda p: jnp.zeros_like(
+                p, dtype=moment_dtype or p.dtype), params),
+            nu=jax.tree.map(lambda p: jnp.zeros_like(
+                p, dtype=moment_dtype or p.dtype), params))
 
     def update(grads, state, params):
         lr = lr_fn(state.count)
         count = state.count + 1
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
-                          state.mu, grads)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                          state.nu, grads)
+        mu = jax.tree.map(
+            lambda m, g: b1 * m.astype(g.dtype) + (1 - b1) * g,
+            state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v.astype(g.dtype) + (1 - b2) * g * g,
+            state.nu, grads)
         c = count.astype(jnp.float32)
         bias = jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
         updates = jax.tree.map(
             lambda m, v, p: -lr * (bias * m / (jnp.sqrt(v) + eps) + wd * p),
             mu, nu, params)
-        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        return updates, optax.ScaleByAdamState(
+            count=count, mu=jax.tree.map(store, mu),
+            nu=jax.tree.map(store, nu))
 
     return optax.GradientTransformation(init, update)
 
@@ -99,17 +114,23 @@ def build_optimizer(
     frozen_paths: Sequence[str] = (),
     grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
+    import jax.numpy as jnp
+
     labels = classify_params(params, lr_mult_paths, frozen_paths)
+    moment_dtype = (None if cfg.moment_dtype in ("float32", "", None)
+                    else jnp.dtype(cfg.moment_dtype))
 
     def adamw(mult: float, wd: float):
         if cfg.legacy_eps:
             return _legacy_adamw(
                 lambda s: schedule(s) * mult,
-                cfg.betas[0], cfg.betas[1], cfg.eps, wd)
+                cfg.betas[0], cfg.betas[1], cfg.eps, wd,
+                moment_dtype=moment_dtype)
+        # optax adamw exposes mu_dtype only; nu stays f32 on this path
         return optax.adamw(
             learning_rate=lambda s: schedule(s) * mult,
             b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
-            weight_decay=wd)
+            weight_decay=wd, mu_dtype=moment_dtype)
 
     transforms: Dict[str, optax.GradientTransformation] = {
         "base_decay": adamw(1.0, cfg.weight_decay),
