@@ -66,6 +66,40 @@ class Embedder:
                                  method="embed_texts") @ f.T, k),
             static_argnums=4)
 
+        # double-sim fusion (video serving): blend the feature similarity
+        # with the per-slot caption similarity exactly like the eval ranker
+        # (reference video_Retrieval_caption_double_sim.py:87-91,169-179;
+        # leccr_tpu/eval/retrieval.py fuse()).  fusion/alpha/k are static so
+        # each (fusion, alpha) pair compiles once.
+        def _fused_scores(q, f, sl, valid, fusion, alpha):
+            s = q @ f.T  # [B, N]
+            c = jnp.max(jnp.einsum("nke,be->bnk", sl, q), axis=-1)  # [B, N]
+            if fusion == "raw":
+                return alpha * s + (1.0 - alpha) * c
+            # minmax: norm(S) = (S - max S)/(max S - min S) over the query
+            # batch's score matrix (the eval ranker normalizes over the full
+            # N x N matrix; fused SCORES are therefore not comparable across
+            # batches).  `valid` [B] masks pad queries out of the min/max so
+            # padding never shifts the blend's relative scale factors.
+            def norm(x):
+                hi = jnp.max(jnp.where(valid[:, None], x, -jnp.inf))
+                lo = jnp.min(jnp.where(valid[:, None], x, jnp.inf))
+                return (x - hi) / jnp.maximum(hi - lo, 1e-12)
+
+            return alpha * norm(s) + (1.0 - alpha) * norm(c)
+
+        self._fused_topk = jax.jit(
+            lambda q, f, sl, valid, k, fusion, alpha: jax.lax.top_k(
+                _fused_scores(q, f, sl, valid, fusion, alpha), k),
+            static_argnums=(4, 5, 6))
+        self._embed_and_fused_topk = jax.jit(
+            lambda p, i, m, f, sl, valid, k, fusion, alpha: jax.lax.top_k(
+                _fused_scores(
+                    self.model.apply({"params": p}, i, m,
+                                     method="embed_texts"),
+                    f, sl, valid, fusion, alpha), k),
+            static_argnums=(6, 7, 8))
+
     @classmethod
     def from_checkpoint(cls, config_path: str,
                         checkpoint: Optional[str] = None,
@@ -173,26 +207,105 @@ class Embedder:
             slots=jnp.concatenate(slots),
             ids=list(ids) if ids else [str(i) for i in range(n)])
 
+    def build_video_index(
+        self,
+        frame_feats: Sequence[np.ndarray] | np.ndarray,
+        mllm_captions: Sequence[str],
+        frame_masks: Optional[np.ndarray] = None,
+        ids: Optional[List[str]] = None,
+    ) -> ImageIndex:
+        """Index pre-extracted per-frame video features — the serving path
+        for the video retrieval model (reference consumes BigFile frame
+        features, video_Retrieval_caption_double_sim.py + retrieval
+        dataset).  frame_feats: [N, T, D] array at T == max_frames (with
+        optional bool frame_masks [N, T]), or a list of per-video [t_i, D]
+        arrays that are padded/truncated to max_frames with the mask
+        derived.  Search with fusion="minmax" for the double-sim ranking
+        the video evaluator uses."""
+        vcfg = self.cfg.model.vision
+        if vcfg.kind != "temporal":
+            raise ValueError("build_video_index needs a temporal vision "
+                             f"tower, got {vcfg.kind!r}")
+        t_max, d = vcfg.max_frames, vcfg.frame_feat_dim
+        if isinstance(frame_feats, np.ndarray) and frame_feats.ndim == 3:
+            n = frame_feats.shape[0]
+            arr = frame_feats[:, :t_max].astype(np.float32)
+            if arr.shape[1] < t_max:
+                arr = np.pad(arr, ((0, 0), (0, t_max - arr.shape[1]), (0, 0)))
+            if frame_masks is None:
+                m = np.zeros((n, t_max), bool)
+                m[:, :min(frame_feats.shape[1], t_max)] = True
+            else:
+                m = np.asarray(frame_masks, bool)[:, :t_max]
+                if m.shape[1] < t_max:
+                    m = np.pad(m, ((0, 0), (0, t_max - m.shape[1])))
+        else:
+            n = len(frame_feats)
+            arr = np.zeros((n, t_max, d), np.float32)
+            m = np.zeros((n, t_max), bool)
+            for i, f in enumerate(frame_feats):
+                t = min(f.shape[0], t_max)
+                arr[i, :t] = f[:t]
+                m[i, :t] = True
+        feats, slots = [], []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            v, vm = arr[i: i + bs], m[i: i + bs]
+            count = v.shape[0]
+            if count < bs:
+                v = np.concatenate([v, np.repeat(v[-1:], bs - count, 0)])
+                vm = np.concatenate([vm, np.repeat(vm[-1:], bs - count, 0)])
+            caps = list(mllm_captions[i: i + count])
+            caps += [caps[-1]] * (bs - count)
+            batch = self._caption_batch(caps)
+            batch["vision"] = jnp.asarray(v)
+            batch["vision_mask"] = jnp.asarray(vm)
+            out = self._embed_images(self.params, batch)
+            feats.append(out["feat"][:count])
+            slots.append(out["slots"][:count])
+        return ImageIndex(
+            feats=jnp.concatenate(feats),
+            slots=jnp.concatenate(slots),
+            ids=list(ids) if ids else [str(i) for i in range(n)])
+
     # ------------------------------------------------------------ search
 
     def search_texts(self, queries: Sequence[str], index: ImageIndex,
-                     k: int = 10) -> List[List[Tuple[str, float]]]:
-        """text → image retrieval: top-k images per query (one dispatch
-        when the query batch fits batch_size)."""
+                     k: int = 10, fusion: str = "none",
+                     alpha: float = 0.9) -> List[List[Tuple[str, float]]]:
+        """text → image/video retrieval: top-k items per query (one
+        dispatch when the query batch fits batch_size).  fusion:
+        "none" (feature similarity only) | "raw" | "minmax" (double-sim
+        slot blend, the video evaluator's ranking — see eval/retrieval.py);
+        alpha weights the feature term."""
+        if fusion not in ("none", "raw", "minmax"):
+            raise ValueError(f"unknown fusion {fusion!r}")
         k = min(k, index.feats.shape[0])
         n = len(queries)
+        alpha = float(alpha)
         if n <= self.batch_size:
             # pad to batch_size: ONE static shape -> one compiled program
             # regardless of the incoming query count
             chunk = list(queries) + [""] * (self.batch_size - n)
             ids, mask = self.tokenizer.encode(
                 chunk, self.cfg.data.max_tokens)
-            scores, idxs = self._embed_and_topk(
-                self.params, ids, mask, index.feats, k)
+            if fusion == "none":
+                scores, idxs = self._embed_and_topk(
+                    self.params, ids, mask, index.feats, k)
+            else:
+                valid = np.arange(self.batch_size) < n
+                scores, idxs = self._embed_and_fused_topk(
+                    self.params, ids, mask, index.feats, index.slots,
+                    valid, k, fusion, alpha)
             scores, idxs = np.asarray(scores)[:n], np.asarray(idxs)[:n]
         else:
             q = jnp.asarray(self.embed_texts(queries))
-            scores, idxs = self._topk(q, index.feats, k)
+            if fusion == "none":
+                scores, idxs = self._topk(q, index.feats, k)
+            else:
+                valid = np.ones((q.shape[0],), bool)
+                scores, idxs = self._fused_topk(
+                    q, index.feats, index.slots, valid, k, fusion, alpha)
             scores, idxs = np.asarray(scores), np.asarray(idxs)
         return [[(index.ids[j], float(s)) for j, s in zip(row_i, row_s)]
                 for row_i, row_s in zip(idxs, scores)]

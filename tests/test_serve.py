@@ -63,6 +63,97 @@ def test_embed_and_search(embedder):
     assert len(i2t) == 6 and len(i2t[0]) == 2
 
 
+@pytest.fixture(scope="module")
+def video_embedder(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve_video")
+    vocab = tmp / "vocab.txt"
+    write_tiny_wordpiece_vocab(
+        str(vocab), "a man rides his red bike dog field".split())
+    cfg = tiny_test_config()
+    cfg.data.text_vocab = str(vocab)
+    m = cfg.model
+    m.vision.kind = "temporal"
+    m.vision.frame_feat_dim = 32
+    m.vision.num_layers = 1
+    m.vision.num_heads = 4
+    m.vision.max_frames = 6
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(0)
+    batch = {
+        "vision": jnp.asarray(rs.rand(1, 6, 32), jnp.float32),
+        "vision_mask": jnp.ones((1, 6), bool),
+        "text_ids_s": jnp.asarray(rs.randint(1, 512, (1, 8))),
+        "text_mask_s": jnp.ones((1, 8), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(1, 512, (1, 8))),
+        "text_mask_t": jnp.ones((1, 8), jnp.int32),
+        "caption_ids": jnp.asarray(rs.randint(1, 512, (1, 8))),
+        "caption_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    return Embedder(cfg, params, batch_size=4)
+
+
+def test_video_index_and_fused_search(video_embedder):
+    """build_video_index pads ragged frame lists; fusion='minmax' search
+    ranks by the double-sim blend the video evaluator uses."""
+    emb = video_embedder
+    cfg = emb.cfg
+    rs = np.random.RandomState(2)
+    # ragged per-video frame features: 3..8 frames (8 > max_frames=6)
+    frames = [rs.rand(t, 32).astype(np.float32) for t in (3, 6, 8, 4, 5)]
+    caps = [f"a man rides his red bike {i}" for i in range(5)]
+    index = emb.build_video_index(frames, caps,
+                                  ids=[f"vid{i}" for i in range(5)])
+    assert index.feats.shape == (5, cfg.model.embed_dim)
+    assert index.slots.shape[0] == 5
+
+    queries = ["a man rides", "red dog"]
+    for fusion in ("raw", "minmax"):
+        hits = emb.search_texts(queries, index, k=5, fusion=fusion,
+                                alpha=0.8)
+        # numpy oracle of the same blend (eval/retrieval.py fuse())
+        q = emb.embed_texts(queries)
+        f = np.asarray(index.feats)
+        sl = np.asarray(index.slots)
+        s = q @ f.T
+        c = np.einsum("nke,be->bnk", sl, q).max(-1)
+        if fusion == "raw":
+            fused = 0.8 * s + 0.2 * c
+        else:
+            def norm(x):
+                return (x - x.max()) / max(x.max() - x.min(), 1e-12)
+            fused = 0.8 * norm(s) + 0.2 * norm(c)
+        want = np.argsort(-fused, axis=1)
+        for b, row in enumerate(hits):
+            got_ids = [h[0] for h in row]
+            assert got_ids == [f"vid{j}" for j in want[b]]
+            np.testing.assert_allclose(
+                [h[1] for h in row], np.sort(fused[b])[::-1], atol=1e-5)
+
+    # pad queries must not shift minmax normalization: a solo query (3 pad
+    # rows in the compiled batch) matches the oracle computed over ONLY its
+    # own score row — pads are masked out of the min/max
+    solo = emb.search_texts(queries[:1], index, k=5, fusion="minmax",
+                            alpha=0.8)
+    q1 = emb.embed_texts(queries[:1])
+    s1 = q1 @ np.asarray(index.feats).T
+    c1 = np.einsum("nke,be->bnk", np.asarray(index.slots), q1).max(-1)
+
+    def norm1(x):
+        return (x - x.max()) / max(x.max() - x.min(), 1e-12)
+
+    fused1 = 0.8 * norm1(s1) + 0.2 * norm1(c1)
+    assert [h[0] for h in solo[0]] == [
+        f"vid{j}" for j in np.argsort(-fused1[0])]
+    np.testing.assert_allclose(
+        [h[1] for h in solo[0]], np.sort(fused1[0])[::-1], atol=1e-5)
+
+
+def test_search_rejects_unknown_fusion(embedder):
+    with pytest.raises(ValueError):
+        embedder.search_texts(["a"], None, fusion="bogus")
+
+
 def test_from_checkpoint_random_init(tmp_path):
     """Embedder.from_checkpoint with no checkpoint: random init, still
     serves end-to-end."""
