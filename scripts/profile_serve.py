@@ -87,6 +87,32 @@ def main():
           f"({1/lat:.0f} QPS); batch-8 {lat8*1000:.1f} ms "
           f"({8/lat8:.0f} QPS)")
 
+    # double-sim (video) serving: feature sim blended with per-slot caption
+    # sim (fusion="minmax", the video evaluator's ranking) over a
+    # slot-carrying index — MSR-VTT-test-x10 scale
+    n_vid = min(N_IMG, 10_000)
+    n_slots = 4
+    slots = rs.randn(n_vid, n_slots, cfg.model.embed_dim).astype(np.float32)
+    slots /= np.linalg.norm(slots, axis=-1, keepdims=True)
+    vindex = ImageIndex(feats=jax.device_put(feats[:n_vid]),
+                        slots=jax.device_put(slots),
+                        ids=[str(i) for i in range(n_vid)])
+    _ = emb.search_texts(queries[:1], vindex, k=10, fusion="minmax")
+    _ = emb.search_texts(queries, vindex, k=10, fusion="minmax")
+    t0 = time.time()
+    for _ in range(n):
+        results = emb.search_texts(queries[:1], vindex, k=10,
+                                   fusion="minmax")
+    vlat = (time.time() - t0) / n
+    t0 = time.time()
+    for _ in range(n):
+        results = emb.search_texts(queries, vindex, k=10, fusion="minmax")
+    vlat8 = (time.time() - t0) / n
+    assert len(results) == 8 and len(results[0]) == 10
+    print(f"video index={n_vid} ({n_slots} slots, minmax double-sim); "
+          f"single-query latency {vlat*1000:.1f} ms ({1/vlat:.0f} QPS); "
+          f"batch-8 {vlat8*1000:.1f} ms ({8/vlat8:.0f} QPS)")
+
 
 if __name__ == "__main__":
     main()

@@ -35,6 +35,8 @@ def main():
     if "--fused" in sys.argv:
         cfg.model.text.fused_attention = "--xla-text" not in sys.argv
         cfg.model.vision.fused_attention = True
+    if "--bf16-moments" in sys.argv:
+        cfg.train.optimizer.moment_dtype = "bfloat16"
     model = LECCRModel(cfg.model)
     rs = np.random.RandomState(0)
     batch = {
