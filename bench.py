@@ -298,8 +298,17 @@ def jax_train_time(quick: bool = False):
     jstep = jax.jit(step, donate_argnums=(0, 1))
     rng = jax.random.key(0, impl=cfg.train.rng_impl)
     dev_batch = jax.device_put(dict(batch))
-    params, opt_state, losses = jstep(params, opt_state, dict(dev_batch), rng)
-    _ = float(losses["total"])  # value fetch = real barrier over the tunnel
+    # warm until steady-state, with a value fetch (= real barrier over the
+    # tunnel) per step: the first 1-2 executions after compile run 2-6x
+    # slow (buffer-donation/allocator settling measured per-step on chip:
+    # 1345, 449, then ~270 ms flat), so a single warm step leaves the
+    # transient inside the timed window — that skew produced the 358-404
+    # ms/step readings vs profile_train.py's 221 ms for the same program
+    for i in range(3):
+        params, opt_state, losses = jstep(
+            params, opt_state, dict(dev_batch),
+            jax.random.fold_in(rng, 1000 + i))
+        _ = float(losses["total"])
     n = 5 if quick else 10
     t0 = time.time()
     for i in range(n):
