@@ -30,6 +30,43 @@ class ImageIndex:
     feats: jax.Array  # [N, E] L2-normalized, device-resident
     slots: Optional[jax.Array]  # [N, n_q, E] (double-sim fusion)
     ids: List[str]
+    # set by shard_index(): rows are sharded over mesh axis `axis`
+    # (feats/slots padded to a multiple of the axis size; the pad rows are
+    # masked out of every search).  None = single-device index.
+    mesh: Optional[jax.sharding.Mesh] = None
+    axis: str = "data"
+
+    @property
+    def n_valid(self) -> int:
+        return len(self.ids)
+
+
+def shard_index(index: ImageIndex, mesh: jax.sharding.Mesh,
+                axis: str = "data") -> ImageIndex:
+    """Re-lay an index out row-sharded over ``mesh`` axis ``axis`` — the
+    pod-scale serving layout: each device holds N/W rows, every query
+    fans out to all shards (local matmul + local top-k), and only the
+    [B, W·k] candidate lists cross the ICI for the global merge, never
+    the [B, N] score matrix.  Scales both index capacity (HBM) and
+    per-query FLOPs with the mesh."""
+    w = mesh.shape[axis]
+    n = index.feats.shape[0]
+    pad = (-n) % w
+    feats = index.feats
+    slots = index.slots
+    if pad:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
+        if slots is not None:
+            slots = jnp.concatenate(
+                [slots, jnp.zeros((pad,) + slots.shape[1:], slots.dtype)])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    feats = jax.device_put(feats, NamedSharding(mesh, P(axis)))
+    if slots is not None:
+        slots = jax.device_put(slots, NamedSharding(mesh, P(axis)))
+    return ImageIndex(feats=feats, slots=slots, ids=list(index.ids),
+                      mesh=mesh, axis=axis)
 
 
 class Embedder:
@@ -49,6 +86,7 @@ class Embedder:
         self.caption_tokenizer = (
             ClipBPETokenizer(cfg.data.clip_bpe_vocab)
             if cfg.model.caption_encoder_name == "clip" else self.tokenizer)
+        self._sharded_progs: Dict[tuple, object] = {}
         self._embed_texts = jax.jit(lambda p, i, m: self.model.apply(
             {"params": p}, i, m, method="embed_texts"))
         self._embed_images = jax.jit(lambda p, b: self.model.apply(
@@ -99,6 +137,89 @@ class Embedder:
                                      method="embed_texts"),
                     f, sl, valid, fusion, alpha), k),
             static_argnums=(6, 7, 8))
+
+    def _sharded_search_prog(self, mesh, axis, k: int, fusion: str,
+                             alpha: float, n_valid: int, with_slots: bool):
+        """One compiled program per (mesh, statics): tokenized queries →
+        embed (replicated) → per-shard scores + local top-k → all_gather
+        of the [B, W·k] candidates → global top-k.  The minmax fusion's
+        global min/max become pmax/pmin over the shard axis (two scalar
+        all-reduces — the same two the sharded evaluator pays)."""
+        key = (mesh, axis, k, fusion, alpha, n_valid, with_slots)
+        prog = self._sharded_progs.get(key)
+        if prog is not None:
+            return prog
+        from jax.sharding import PartitionSpec as P
+
+        from leccr_tpu.parallel.ring import shard_map
+
+        def body(q, f, sl, valid_q):
+            # q [B, E] replicated; f [n_loc, E] / sl [n_loc, n_q, E] local
+            n_loc = f.shape[0]
+            gid = jax.lax.axis_index(axis) * n_loc + jnp.arange(n_loc)
+            live = gid < n_valid
+            s = q @ f.T  # [B, n_loc]
+            if fusion != "none":
+                c = jnp.max(jnp.einsum("nke,be->bnk", sl, q), axis=-1)
+                if fusion == "minmax":
+                    def norm(x):
+                        m = valid_q[:, None] & live[None, :]
+                        hi = jax.lax.pmax(
+                            jnp.max(jnp.where(m, x, -jnp.inf)), axis)
+                        lo = jax.lax.pmin(
+                            jnp.min(jnp.where(m, x, jnp.inf)), axis)
+                        return (x - hi) / jnp.maximum(hi - lo, 1e-12)
+
+                    s, c = norm(s), norm(c)
+                s = alpha * s + (1.0 - alpha) * c
+            s = jnp.where(live[None, :], s, -jnp.inf)
+            ls, li = jax.lax.top_k(s, min(k, n_loc))
+            lgi = jnp.take(gid, li)
+            s_all = jax.lax.all_gather(ls, axis, axis=1, tiled=True)
+            i_all = jax.lax.all_gather(lgi, axis, axis=1, tiled=True)
+            fs, pos = jax.lax.top_k(s_all, k)
+            return fs, jnp.take_along_axis(i_all, pos, axis=1)
+
+        mapped = shard_map(
+            body, mesh,
+            in_specs=(P(), P(axis), P(axis), P()),
+            out_specs=(P(), P()))
+
+        def prog(params, ids, mask, f, sl, valid_q):
+            q = self.model.apply({"params": params}, ids, mask,
+                                 method="embed_texts")
+            return mapped(q, f, sl, valid_q)
+
+        prog = jax.jit(prog)
+        self._sharded_progs[key] = prog
+        return prog
+
+    def _search_sharded(self, queries: Sequence[str], index: ImageIndex,
+                        k: int, fusion: str, alpha: float):
+        with_slots = fusion != "none"
+        if with_slots and index.slots is None:
+            raise ValueError(f"fusion={fusion!r} needs a slot-carrying "
+                             "index")
+        prog = self._sharded_search_prog(
+            index.mesh, index.axis, k, fusion, float(alpha),
+            index.n_valid, with_slots)
+        # the slots input must exist even on the feature-only path (it is
+        # DCE'd inside the program); a row-sharded view of feats keeps the
+        # dummy on the same layout with no extra transfer
+        sl = index.slots if with_slots else index.feats[:, :1, None]
+        bs = self.batch_size
+        out_s, out_i = [], []
+        for i in range(0, len(queries), bs):
+            chunk = list(queries[i: i + bs])
+            n = len(chunk)
+            chunk += [""] * (bs - n)
+            ids, mask = self.tokenizer.encode(chunk, self.cfg.data.max_tokens)
+            valid_q = np.arange(bs) < n
+            scores, idxs = prog(self.params, ids, mask, index.feats, sl,
+                                valid_q)
+            out_s.append(np.asarray(scores)[:n])
+            out_i.append(np.asarray(idxs)[:n])
+        return np.concatenate(out_s), np.concatenate(out_i)
 
     @classmethod
     def from_checkpoint(cls, config_path: str,
@@ -280,9 +401,14 @@ class Embedder:
         alpha weights the feature term."""
         if fusion not in ("none", "raw", "minmax"):
             raise ValueError(f"unknown fusion {fusion!r}")
-        k = min(k, index.feats.shape[0])
+        k = min(k, index.n_valid)
         n = len(queries)
         alpha = float(alpha)
+        if index.mesh is not None:
+            scores, idxs = self._search_sharded(queries, index, k, fusion,
+                                                alpha)
+            return [[(index.ids[j], float(s)) for j, s in zip(ri, rs)]
+                    for ri, rs in zip(idxs, scores)]
         if n <= self.batch_size:
             # pad to batch_size: ONE static shape -> one compiled program
             # regardless of the incoming query count

@@ -149,6 +149,62 @@ def test_video_index_and_fused_search(video_embedder):
         [h[1] for h in solo[0]], np.sort(fused1[0])[::-1], atol=1e-5)
 
 
+def test_sharded_index_matches_single_device(embedder):
+    """shard_index over the 8-device mesh: per-shard top-k + global merge
+    returns exactly the single-device results (ids and scores), for the
+    feature-only path and both slot fusions, with a row count that does
+    not divide the mesh (pad rows masked) and query batches above
+    batch_size (chunked path)."""
+    from jax.sharding import Mesh
+
+    from leccr_tpu.serve import shard_index
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(3)
+    images = rs.randint(0, 255, (10, res, res, 3)).astype(np.uint8)
+    captions = [f"a man rides his red bike {i}" for i in range(10)]
+    index = embedder.build_image_index(images, captions,
+                                       ids=[f"img{i}" for i in range(10)])
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), axis_names=("data",))
+    sharded = shard_index(index, mesh)
+    assert sharded.feats.shape[0] == 16  # padded 10 -> 2 rows x 8 shards
+    assert sharded.n_valid == 10
+
+    # one compiled chunk on both paths (minmax normalizes per dispatch
+    # batch, so the chunking must match for score comparison)
+    queries = ["a man rides", "red dog", "field", "his bike"]
+    for fusion in ("none", "raw", "minmax"):
+        want = embedder.search_texts(queries, index, k=4, fusion=fusion,
+                                     alpha=0.8)
+        got = embedder.search_texts(queries, sharded, k=4, fusion=fusion,
+                                    alpha=0.8)
+        for w_row, g_row in zip(want, got):
+            assert [h[0] for h in w_row] == [h[0] for h in g_row]
+            np.testing.assert_allclose([h[1] for h in w_row],
+                                       [h[1] for h in g_row], atol=1e-5)
+
+    # chunk-independent fusions also match across DIFFERENT chunkings:
+    # 5 queries run unsharded as one 5-row dispatch but sharded as 4+1
+    many = queries + ["a dog"]
+    want = embedder.search_texts(many, index, k=4, fusion="raw", alpha=0.8)
+    got = embedder.search_texts(many, sharded, k=4, fusion="raw", alpha=0.8)
+    for w_row, g_row in zip(want, got):
+        assert [h[0] for h in w_row] == [h[0] for h in g_row]
+        np.testing.assert_allclose([h[1] for h in w_row],
+                                   [h[1] for h in g_row], atol=1e-5)
+
+    # k larger than the per-shard row count (2): the merged pool must
+    # still produce the exact global top-k, and pad rows never appear
+    want = embedder.search_texts(queries[:2], index, k=7)
+    got = embedder.search_texts(queries[:2], sharded, k=7)
+    for w_row, g_row in zip(want, got):
+        assert [h[0] for h in w_row] == [h[0] for h in g_row]
+        assert all(h[0].startswith("img") for h in g_row)
+
+
 def test_search_rejects_unknown_fusion(embedder):
     with pytest.raises(ValueError):
         embedder.search_texts(["a"], None, fusion="bogus")
