@@ -41,6 +41,65 @@ class ImageIndex:
         return len(self.ids)
 
 
+def save_index(index: ImageIndex, path: str) -> None:
+    """Persist an index (feats/slots/ids) so serving restarts skip the
+    embed pass — build once with build_image_index/build_video_index,
+    serve many.  `path` is a directory; hdfs:// transparent via utils.io.
+    Sharded indexes are saved unsharded (re-shard after load)."""
+    import json
+    import os
+    import tempfile
+
+    from leccr_tpu.utils import io
+
+    local = path
+    remote = None
+    if path.startswith("hdfs://"):
+        remote = path
+        local = tempfile.mkdtemp(prefix="leccr_index_")
+    os.makedirs(local, exist_ok=True)
+    np.save(os.path.join(local, "feats.npy"),
+            np.asarray(index.feats)[: index.n_valid])
+    if index.slots is not None:
+        np.save(os.path.join(local, "slots.npy"),
+                np.asarray(index.slots)[: index.n_valid])
+    with open(os.path.join(local, "ids.json"), "w") as f:
+        json.dump(index.ids, f)
+    if remote is not None:
+        io.makedirs(remote)
+        io.sync_dir_to_remote(local, remote)
+
+
+def load_index(path: str,
+               mesh: Optional[jax.sharding.Mesh] = None,
+               axis: str = "data") -> ImageIndex:
+    """Load a saved index onto the device; pass ``mesh`` to lay it out
+    row-sharded (shard_index) in the same call."""
+    import json
+    import os
+    import tempfile
+
+    from leccr_tpu.utils import io
+
+    local = path
+    if path.startswith("hdfs://"):
+        local = tempfile.mkdtemp(prefix="leccr_index_")
+        io.stage_remote_dir(path, local)
+    feats = np.load(os.path.join(local, "feats.npy"))
+    slots_path = os.path.join(local, "slots.npy")
+    slots = np.load(slots_path) if os.path.exists(slots_path) else None
+    with open(os.path.join(local, "ids.json")) as f:
+        ids = json.load(f)
+    if len(ids) != feats.shape[0]:
+        raise ValueError(
+            f"index corrupt: {len(ids)} ids vs {feats.shape[0]} rows")
+    index = ImageIndex(
+        feats=jax.device_put(feats),
+        slots=jax.device_put(slots) if slots is not None else None,
+        ids=list(ids))
+    return shard_index(index, mesh, axis) if mesh is not None else index
+
+
 def shard_index(index: ImageIndex, mesh: jax.sharding.Mesh,
                 axis: str = "data") -> ImageIndex:
     """Re-lay an index out row-sharded over ``mesh`` axis ``axis`` — the

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from leccr_tpu.config import tiny_test_config
 from leccr_tpu.data.tokenizers import write_tiny_wordpiece_vocab
 from leccr_tpu.models.leccr import LECCRModel
-from leccr_tpu.serve import Embedder
+from leccr_tpu.serve import Embedder, ImageIndex
 
 
 @pytest.fixture(scope="module")
@@ -203,6 +203,44 @@ def test_sharded_index_matches_single_device(embedder):
     for w_row, g_row in zip(want, got):
         assert [h[0] for h in w_row] == [h[0] for h in g_row]
         assert all(h[0].startswith("img") for h in g_row)
+
+
+def test_index_save_load_roundtrip(embedder, tmp_path):
+    """save_index/load_index: identical search results after reload, both
+    unsharded and re-sharded over the mesh at load time."""
+    from jax.sharding import Mesh
+
+    from leccr_tpu.serve import load_index, save_index
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(4)
+    images = rs.randint(0, 255, (6, res, res, 3)).astype(np.uint8)
+    captions = [f"a red dog in the field {i}" for i in range(6)]
+    index = embedder.build_image_index(images, captions,
+                                       ids=[f"img{i}" for i in range(6)])
+    save_index(index, str(tmp_path / "idx"))
+
+    want = embedder.search_texts(["a red dog"], index, k=4, fusion="raw")
+    loaded = load_index(str(tmp_path / "idx"))
+    assert loaded.ids == index.ids and loaded.slots is not None
+    got = embedder.search_texts(["a red dog"], loaded, k=4, fusion="raw")
+    assert [(h[0], round(h[1], 5)) for h in want[0]] == \
+           [(h[0], round(h[1], 5)) for h in got[0]]
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+    sharded = load_index(str(tmp_path / "idx"), mesh=mesh)
+    assert sharded.mesh is mesh and sharded.n_valid == 6
+    got = embedder.search_texts(["a red dog"], sharded, k=4, fusion="raw")
+    assert [h[0] for h in want[0]] == [h[0] for h in got[0]]
+
+    # a feature-only index (no slots file) loads and serves
+    feat_only = ImageIndex(feats=index.feats, slots=None, ids=index.ids)
+    save_index(feat_only, str(tmp_path / "idx2"))
+    loaded2 = load_index(str(tmp_path / "idx2"))
+    assert loaded2.slots is None
+    hits = embedder.search_texts(["a red dog"], loaded2, k=2)
+    assert len(hits[0]) == 2
 
 
 def test_search_rejects_unknown_fusion(embedder):
