@@ -47,29 +47,47 @@ def score_matrix(img_embeds: jax.Array, txt_embeds: jax.Array) -> jax.Array:
     return img_embeds @ txt_embeds.T
 
 
-@functools.partial(jax.jit, static_argnames=("block", "fusion", "alpha"))
+@functools.partial(
+    jax.jit, static_argnames=("n_img", "block", "fusion", "alpha"))
 def _ranks_impl(
     img_embeds: jax.Array,
     txt_embeds: jax.Array,
     txt2img: jax.Array,
     img2txt: jax.Array,
-    slots: jax.Array,
-    n_valid: jax.Array,
+    slots: jax.Array | None,
     *,
+    n_img: int,
     block: int,
     fusion: str,
     alpha: float,
 ):
+    # All padding happens in-graph: over a remote transport every eager op
+    # outside jit is its own dispatch round trip, and at MSCOCO scale the
+    # whole ranker's device time (~1.3 ms) is smaller than ONE round trip.
+    img_embeds = jnp.asarray(img_embeds, jnp.float32)
+    txt_embeds = jnp.asarray(txt_embeds, jnp.float32)
+    pad = (-n_img) % block
+    if pad:
+        img_embeds = jnp.pad(img_embeds, ((0, pad), (0, 0)))
+        img2txt = jnp.pad(img2txt, ((0, pad), (0, 0)), constant_values=-1)
+        if slots is not None:
+            slots = jnp.pad(slots, ((0, pad), (0, 0), (0, 0)))
     n_img_pad, e = img_embeds.shape
     n_txt = txt_embeds.shape[0]
     n_gt = img2txt.shape[1]
     n_blocks = n_img_pad // block
     img_b = img_embeds.reshape(n_blocks, block, e)
-    slots_b = slots.reshape(n_blocks, block, *slots.shape[1:])
+    if slots is not None:
+        slots = jnp.asarray(slots, jnp.float32)
+        slots_b = slots.reshape(n_blocks, block, *slots.shape[1:])
+    else:
+        assert fusion == "none"
+        slots_b = jnp.zeros((n_blocks, block, 0, e), jnp.float32)
     row0s = jnp.arange(n_blocks) * block
     txt_ids = jnp.arange(n_txt)
     gt_valid = img2txt >= 0
     gt_txt_idx = jnp.maximum(img2txt, 0)
+    n_valid = jnp.int32(n_img)
 
     def raw_scores(img_chunk, slot_chunk):
         s = img_chunk @ txt_embeds.T  # [blk, n_txt]
@@ -146,6 +164,21 @@ def _ranks_impl(
     gt_t2i = fuse(gts_t2i, gtc_t2i)  # [n_txt]
     gt_i2t = fuse(gts_i2t, gtc_i2t)  # [n_img_pad, n_gt]
 
+    # i2t rank = min over gt captions of that caption's rank.  The minimum
+    # is achieved by the best-scoring gt, tie-broken by the LARGEST text
+    # index: rank_k = #{s_j > g_k} + #{s_j == g_k, j > gidx_k}, and because
+    # g_k is itself the row's entry at column gidx_k (gathered from the same
+    # block matmul), any k with g_k < g_max ranks at least one worse (the
+    # g_max column itself counts), and among k with g_k == g_max the tie
+    # term shrinks as gidx_k grows.  So pass 2 compares each row against ONE
+    # (score, index) pair instead of n_gt of them — the [blk, n_gt, n_txt]
+    # comparison tensor (5x the work at MSCOCO's 5 gt/image) disappears.
+    gt_i2t_masked = jnp.where(gt_valid, gt_i2t, -jnp.inf)
+    g_best = jnp.max(gt_i2t_masked, axis=1)  # [n_img_pad]
+    best_mask = gt_valid & (gt_i2t_masked == g_best[:, None])
+    gidx_best = jnp.max(
+        jnp.where(best_mask, gt_txt_idx, -1), axis=1)  # [n_img_pad]
+
     # ---- pass 2: streaming rank counts ---------------------------------
     def pass2(carry, chunk):
         t2i_cnt, i2t_ranks_acc = carry
@@ -160,23 +193,20 @@ def _ranks_impl(
         t2i_cnt = t2i_cnt + jnp.sum(
             (greater | ties) & valid[:, None], axis=0)
 
-        g = jax.lax.dynamic_slice_in_dim(gt_i2t, row0, block, axis=0)
-        gidx = jax.lax.dynamic_slice_in_dim(gt_txt_idx, row0, block, axis=0)
-        gvalid = jax.lax.dynamic_slice_in_dim(gt_valid, row0, block, axis=0)
-        greater_i = s[:, None, :] > g[:, :, None]  # [blk, n_gt, n_txt]
-        ties_i = (s[:, None, :] == g[:, :, None]) & (
-            txt_ids[None, None, :] > gidx[:, :, None])
-        ranks_k = jnp.sum(greater_i | ties_i, axis=-1).astype(jnp.int32)
-        ranks_k = jnp.where(gvalid, ranks_k, n_txt + 1)
+        g = jax.lax.dynamic_slice_in_dim(g_best, row0, block, axis=0)
+        gidx = jax.lax.dynamic_slice_in_dim(gidx_best, row0, block, axis=0)
+        greater_i = s > g[:, None]  # [blk, n_txt]
+        ties_i = (s == g[:, None]) & (txt_ids[None, :] > gidx[:, None])
+        ranks = jnp.sum(greater_i | ties_i, axis=-1).astype(jnp.int32)
         i2t_ranks_acc = jax.lax.dynamic_update_slice_in_dim(
-            i2t_ranks_acc, jnp.min(ranks_k, axis=-1), row0, axis=0)
+            i2t_ranks_acc, ranks, row0, axis=0)
         return (t2i_cnt, i2t_ranks_acc), None
 
     init2 = (jnp.zeros((n_txt,), jnp.int32),
              jnp.zeros((n_img_pad,), jnp.int32))
     (t2i_ranks, i2t_ranks), _ = jax.lax.scan(
         pass2, init2, (img_b, slots_b, row0s))
-    return i2t_ranks, t2i_ranks
+    return i2t_ranks[:n_img], t2i_ranks
 
 
 def retrieval_ranks(
@@ -188,20 +218,25 @@ def retrieval_ranks(
     fusion: str = "none",
     alpha: float = 0.9,
     block: int = 256,
+    as_numpy: bool = True,
 ):
     """Compute (i2t_ranks [N_img], t2i_ranks [N_txt]) on device.
+
+    as_numpy=False skips the host fetch and returns device arrays — the
+    whole call is then ONE async jit dispatch (device time ~1.3 ms at
+    MSCOCO scale), letting callers pipeline rank computations or defer the
+    O(N) fetch.
 
     txt2img/img2txt accept the reference's dict-of-lists ground-truth maps
     (retrieval_dataset.py:208-226) or pre-padded arrays (img2txt padded with
     -1).  fusion: "none" | "raw" (image alpha-blend, image_…py:244-246) |
     "minmax" (video double-sim, video_…py:169-179)."""
-    img_embeds = jnp.asarray(img_embeds, jnp.float32)
-    txt_embeds = jnp.asarray(txt_embeds, jnp.float32)
     n_img = img_embeds.shape[0]
 
     if isinstance(txt2img, dict):
         txt2img = np.asarray([txt2img[t] for t in range(len(txt2img))])
-    txt2img = jnp.asarray(txt2img, jnp.int32)
+    if not isinstance(txt2img, jax.Array):
+        txt2img = np.asarray(txt2img, np.int32)
 
     if isinstance(img2txt, dict):
         n_gt = max(len(v) for v in img2txt.values())
@@ -209,24 +244,19 @@ def retrieval_ranks(
         for i, txts in img2txt.items():
             arr[i, : len(txts)] = txts
         img2txt = arr
-    img2txt = jnp.asarray(img2txt, jnp.int32)
+    if not isinstance(img2txt, jax.Array):
+        img2txt = np.asarray(img2txt, np.int32)
 
     if slots is None:
-        slots = jnp.zeros((n_img, 1, img_embeds.shape[1]), jnp.float32)
         assert fusion == "none"
-    slots = jnp.asarray(slots, jnp.float32)
-
-    block = min(block, n_img)
-    pad = (-n_img) % block
-    if pad:
-        img_embeds = jnp.pad(img_embeds, ((0, pad), (0, 0)))
-        slots = jnp.pad(slots, ((0, pad), (0, 0), (0, 0)))
-        img2txt = jnp.pad(img2txt, ((0, pad), (0, 0)), constant_values=-1)
 
     i2t_ranks, t2i_ranks = _ranks_impl(
         img_embeds, txt_embeds, txt2img, img2txt, slots,
-        jnp.int32(n_img), block=block, fusion=fusion, alpha=float(alpha))
-    return _fetch(i2t_ranks[:n_img]), _fetch(t2i_ranks)
+        n_img=n_img, block=min(block, n_img), fusion=fusion,
+        alpha=float(alpha))
+    if not as_numpy:
+        return i2t_ranks, t2i_ranks
+    return _fetch(i2t_ranks), _fetch(t2i_ranks)
 
 
 def _fetch(x: jax.Array) -> np.ndarray:

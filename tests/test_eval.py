@@ -62,6 +62,26 @@ def test_ranks_match_argsort_oracle(ties, block):
     np.testing.assert_array_equal(got_t2i, want_t2i)
 
 
+@pytest.mark.parametrize("block", [4, 13])
+def test_tied_gt_captions_of_same_image(block):
+    """Two gt captions of ONE image with exactly equal scores: the i2t rank
+    must come from the larger-index duplicate (stable-descending order), the
+    tie-break the single-best-gt pass-2 rewrite relies on."""
+    img, txt, txt2img, img2txt = _setup(ties=False)
+    # image 1's gt captions are {1, 14, 27}; make two of them identical,
+    # and give image 2 a three-way gt tie
+    txt[14] = txt[1]
+    txt[28] = txt[15]
+    txt[2] = txt[15]
+    txt2img[2] = 2  # already true (2 % 13); keep gt maps consistent
+    scores = np.asarray(score_matrix(img, txt))
+    want_i2t, want_t2i = oracle_ranks(scores, scores.T, txt2img, img2txt)
+    got_i2t, got_t2i = retrieval_ranks(
+        img, txt, txt2img, img2txt, block=block)
+    np.testing.assert_array_equal(got_i2t, want_i2t)
+    np.testing.assert_array_equal(got_t2i, want_t2i)
+
+
 def test_double_sim_minmax_fusion_matches_oracle():
     """Video double-sim eval (video_…py:87-91,169-179): fused =
     a*norm(S) + (1-a)*norm(C), norm via global min/max."""
