@@ -252,6 +252,11 @@ class ParallelConfig:
 
     data: int = -1  # -1 = all devices
     model: int = 1
+    # number of DCN-connected slices the data axis spans (multi-slice pod).
+    # Purely a device-ordering hint: slice-major order keeps model-parallel
+    # groups inside a slice and makes the data-axis gradient reduce
+    # hierarchical (ICI within a slice, DCN across). 1 = single slice.
+    dcn_data: int = 1
     # global-negatives strategy for the contrastive losses:
     #  "gather":     all_gather features (reference AllGather semantics)
     #  "ring":       ppermute ring, never materializes the full logits

@@ -26,17 +26,50 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from leccr_tpu.config import ParallelConfig
 
 
+def _dcn_slice_major(devices, dcn: int):
+    """Order devices slice-major for a multi-slice (DCN-connected) pod.
+
+    The mesh keeps its two LOGICAL axes; multi-slice locality is purely a
+    device-ordering property: with all of slice 0's chips first, then slice
+    1's, …, the `data` axis's contiguous `model`-sized groups stay inside a
+    slice (tensor-parallel collectives ride ICI), the gradient psum over
+    `data` decomposes hierarchically (XLA reduces within each slice over
+    ICI, then across slices over DCN — it sees the slice structure in the
+    device assignment), and a ppermute ring crosses DCN only at the `dcn`
+    slice boundaries per rotation (a [B/W, 256] tile — KBs).
+
+    Devices that expose `slice_index` (real multi-slice TPU) are sorted by
+    (slice_index, id); otherwise (virtual/CPU meshes, single slice) the
+    given order is trusted as slice-major."""
+    ids = [getattr(d, "slice_index", None) for d in devices]
+    if any(i is None for i in ids):
+        return list(devices)
+    n_slices = len(set(ids))
+    assert n_slices % dcn == 0 or dcn % n_slices == 0 or dcn <= n_slices, (
+        f"dcn_data={dcn} over {n_slices} hardware slices")
+    order = sorted(range(len(devices)),
+                   key=lambda k: (ids[k], devices[k].id))
+    return [devices[k] for k in order]
+
+
 def make_mesh(cfg: Optional[ParallelConfig] = None,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     model = cfg.model if cfg else 1
     data = cfg.data if cfg else -1
+    dcn = getattr(cfg, "dcn_data", 1) if cfg else 1
     if data == -1:
         assert n % model == 0, (n, model)
         data = n // model
     need = data * model
     assert need <= n, f"mesh {data}x{model} needs {need} > {n} devices"
+    if dcn > 1:
+        assert data % dcn == 0, (
+            f"data={data} must split evenly over dcn_data={dcn} slices")
+        assert need % dcn == 0 and (need // dcn) % model == 0, (
+            f"model={model} groups must not straddle a slice boundary")
+        devices = _dcn_slice_major(devices, dcn)
     arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 

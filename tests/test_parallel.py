@@ -126,3 +126,38 @@ def test_ring_infonce_fused_matches_global(impl):
     for w, g in zip(g_want, g_got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=2e-6)
+
+
+def test_dcn_slice_major_ordering():
+    """Multi-slice device ordering: devices sorted slice-major by
+    (slice_index, id) so model groups stay inside a slice; devices without
+    slice_index (CPU/virtual) keep their given order."""
+    from types import SimpleNamespace
+
+    from leccr_tpu.parallel.mesh import _dcn_slice_major
+
+    devs = [SimpleNamespace(slice_index=s, id=i)
+            for i, s in enumerate([1, 0, 1, 0, 0, 1, 0, 1])]
+    ordered = _dcn_slice_major(devs, dcn=2)
+    assert [d.slice_index for d in ordered] == [0] * 4 + [1] * 4
+    assert [d.id for d in ordered] == [1, 3, 4, 6, 0, 2, 5, 7]
+
+    plain = [SimpleNamespace(id=i) for i in range(4)]
+    assert _dcn_slice_major(plain, dcn=2) == plain
+
+
+def test_dcn_mesh_builds_and_loss_unchanged():
+    """dcn_data on the virtual CPU mesh (single hardware slice): the mesh
+    builds with the declared layout and the sharded global loss still
+    matches the dense one — dcn is an ordering property, not a semantic
+    change."""
+    mesh = make_mesh(ParallelConfig(data=4, model=2, dcn_data=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    a, b, idx = _feats()
+    want = soft_label_contrastive_loss(a, b, jnp.float32(0.07), idx)
+    got = ring_infonce(make_mesh(ParallelConfig(data=8, dcn_data=2)),
+                       a, b, jnp.float32(0.07), idx)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    with pytest.raises(AssertionError):
+        make_mesh(ParallelConfig(data=3, model=1, dcn_data=2))
