@@ -257,6 +257,11 @@ class ParallelConfig:
     # groups inside a slice and makes the data-axis gradient reduce
     # hierarchical (ICI within a slice, DCN across). 1 = single slice.
     dcn_data: int = 1
+    # fully-sharded data parallel (ZeRO-3): shard params + Adam moments
+    # over the data axis too; XLA all-gathers weights at use and
+    # reduce-scatters grads. Cuts per-chip state HBM ~data× — required for
+    # the video model past bs64/chip (11 GB fp32 state on one chip).
+    fsdp: bool = False
     # global-negatives strategy for the contrastive losses:
     #  "gather":     all_gather features (reference AllGather semantics)
     #  "ring":       ppermute ring, never materializes the full logits
@@ -299,6 +304,16 @@ class TrainConfig:
     checkpoint_every_steps: int = 0
     # raise at the producing op on any NaN under jit (jax_debug_nans)
     debug_nans: bool = False
+    # GradCache (two-pass exact large-batch contrastive): split the
+    # per-step batch into M microbatches; towers forward once without
+    # activation residency, the loss differentiates against the
+    # concatenated embeddings (tiny), then each microbatch re-runs its
+    # tower vjp with the embedding-grad slice injected. The gradient is
+    # EXACT (same objective, global negatives included) while tower
+    # activation memory drops M×: the negative-pool size decouples from
+    # activation HBM at the price of one extra forward (~4/3 step FLOPs).
+    # 0/1 = off.
+    grad_cache_microbatches: int = 0
 
 
 @dataclass

@@ -106,10 +106,24 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
     return P()
 
 
-def params_shardings(mesh: Mesh, params) -> Any:
-    """NamedSharding pytree for the params, honoring the model axis (only
-    meaningful when mesh has model > 1; otherwise fully replicated)."""
-    if mesh.shape.get("model", 1) == 1:
+# params below this size stay replicated under FSDP: gathering a few KB
+# per layer costs more in collective latency than the sharding saves
+_FSDP_MIN_SIZE = 1 << 16
+
+
+def params_shardings(mesh: Mesh, params, fsdp: bool = False) -> Any:
+    """NamedSharding pytree for the params.
+
+    - model axis: tensor parallelism per `param_partition_spec`.
+    - fsdp=True additionally shards every large param's largest free dim
+      over the `data` axis (ZeRO-3 / fully-sharded data parallel): XLA
+      all-gathers a weight just before use, reduce-scatters its gradient,
+      and the Adam moments inherit the sharding through the jitted
+      `tx.init` — per-chip param+moment HBM drops by ~data×.  The video
+      model's 11 GB fp32 state (DESIGN.md) is the motivating case: bs128
+      OOMs one chip but fits under fsdp on a data=8 mesh."""
+    data_n = mesh.shape.get("data", 1) if fsdp else 1
+    if mesh.shape.get("model", 1) == 1 and data_n == 1:
         return jax.tree.map(
             lambda _: NamedSharding(mesh, P()), params)
 
@@ -122,7 +136,15 @@ def params_shardings(mesh: Mesh, params) -> Any:
         # only shard when divisible
         for axis_size, axis_name in zip(leaf.shape, spec):
             if axis_name == "model" and axis_size % mesh.shape["model"]:
-                return P()
+                spec = P()
+                break
+        if data_n > 1 and leaf.size >= _FSDP_MIN_SIZE:
+            dims = list(spec) + [None] * (leaf.ndim - len(spec))
+            for d in sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d]):
+                if dims[d] is None and leaf.shape[d] % data_n == 0:
+                    dims[d] = "data"
+                    spec = P(*dims)
+                    break
         return spec
 
     specs = {kp: spec_for(kp, leaf) for kp, leaf in flat}

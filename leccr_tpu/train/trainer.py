@@ -39,7 +39,7 @@ from leccr_tpu.data.images import normalize_images
 from leccr_tpu.data.pipeline import EvalLoader, TrainLoader
 from leccr_tpu.data.tokenizers import ClipBPETokenizer, WordPieceTokenizer
 from leccr_tpu.eval.retrieval import itm_metrics_from_ranks, retrieval_ranks
-from leccr_tpu.models.leccr import LECCRModel
+from leccr_tpu.models.leccr import LECCRModel, TrainEmbeddings
 from leccr_tpu.models.losses import compute_losses
 from leccr_tpu.parallel.mesh import (
     host_local_to_global,
@@ -53,6 +53,71 @@ from leccr_tpu.train.schedule import linear_warmup_decay
 
 LOSS_KEYS = ("loss_itc_vs", "loss_itc_vt", "loss_itc_st", "loss_itc_c",
              "loss_reg_c")
+
+
+def _grad_cache_grads(forward, loss_from_emb, params, batch, flip, m):
+    """GradCache: exact large-batch contrastive gradients in O(batch/m)
+    tower-activation memory (Gao et al., "Scaling Deep Contrastive Learning
+    Batch Size under Memory Limited Setup", arXiv 2101.06983).
+
+    The 5-loss objective consumes only per-example embedding-level tensors
+    (TrainEmbeddings) plus the scalar temperature, so the chain rule splits
+    at that interface:
+
+      1. forward every microbatch WITHOUT gradient residency (lax.scan
+         keeps one microbatch's activations live at a time) and concatenate
+         the embeddings — [B, 256]-sized, trivially HBM-resident at 32k;
+      2. differentiate the loss w.r.t. the concatenated embeddings (loss
+         math only — no towers involved);
+      3. re-run each microbatch's tower vjp with its embedding-cotangent
+         slice injected, accumulating param grads (one scan; activations
+         for one microbatch at a time).
+
+    The result is the EXACT full-batch gradient — global negatives, soft
+    labels, dstl min-max and all — at ~4/3 the step FLOPs (one extra
+    forward).  The temperature cotangent splits as g_temp/m per microbatch:
+    temp's dependence on params is identical in every microbatch forward
+    and vjp is linear in the cotangent.  The reference has no analog (its
+    negative pool is capped by per-GPU activation memory; SURVEY §2c)."""
+    b = jax.tree.leaves(batch)[0].shape[0]
+    assert b % m == 0, f"batch {b} must split into {m} microbatches"
+
+    def to_mb(x):
+        return x.reshape(m, b // m, *x.shape[1:])
+
+    mb = jax.tree.map(to_mb, batch)
+    mb_flip = to_mb(flip) if flip is not None else None
+    ks = jnp.arange(m)
+
+    def fwd_scan(_, xs):
+        mbatch, fl, k = xs
+        return None, forward(params, mbatch, fl, k)
+
+    _, embs = jax.lax.scan(fwd_scan, None, (mb, mb_flip, ks))
+
+    names = [f.name for f in dataclasses.fields(TrainEmbeddings)]
+    emb = TrainEmbeddings(**{
+        n: (getattr(embs, n)[0] if n == "temp"
+            else getattr(embs, n).reshape(b, *getattr(embs, n).shape[2:]))
+        for n in names})
+
+    (_, losses), g_emb = jax.value_and_grad(
+        loss_from_emb, has_aux=True)(emb)
+
+    g_mb = TrainEmbeddings(**{
+        n: (jnp.broadcast_to(getattr(g_emb, n) / m, (m,))
+            if n == "temp" else to_mb(getattr(g_emb, n)))
+        for n in names})
+
+    def bwd_scan(acc, xs):
+        mbatch, fl, k, ge = xs
+        _, vjp_fn = jax.vjp(lambda p: forward(p, mbatch, fl, k), params)
+        (dp,) = vjp_fn(ge)
+        return jax.tree.map(jnp.add, acc, dp), None
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    grads, _ = jax.lax.scan(bwd_scan, zeros, (mb, mb_flip, ks, g_mb))
+    return losses, grads
 
 
 def build_datasets(cfg: LECCRConfig):
@@ -247,7 +312,8 @@ class Trainer:
             lr_mult_paths=tuple(self.cfg.train.optimizer.lr_mult_paths),
             frozen_paths=("clip_text_tower",),
             grad_clip=self.cfg.train.grad_clip)
-        shardings = params_shardings(self.mesh, params)
+        shardings = params_shardings(
+            self.mesh, params, fsdp=self.cfg.parallel.fsdp)
         params = jax.device_put(params, shardings)
         # init the optimizer state under jit so XLA propagates the param
         # shardings into the Adam moments (replicating 2x 277M fp32 moments
@@ -286,6 +352,8 @@ class Trainer:
         seed = self.cfg.train.seed + 17
         rng_impl = self.cfg.train.rng_impl
 
+        gc_m = self.cfg.train.grad_cache_microbatches
+
         def step_fn(params, opt_state, batch, step_no):
             # key derived in-graph from the step counter: no per-step host
             # device_put of a PRNG key, and the step scalar is a plain
@@ -298,21 +366,34 @@ class Trainer:
             idx = batch.pop("idx")
             flip = batch.pop("flip", None)
 
-            def loss_fn(p):
-                model_batch = dict(batch)
+            def forward(p, model_batch, mb_flip, k):
+                """Towers + interaction for one (micro)batch → embeddings.
+
+                k=None is the monolithic path (rng usage byte-identical to
+                the pre-GradCache trainer, preserving trajectory parity);
+                integer k derives per-microbatch keys."""
+                model_batch = dict(model_batch)
+                aug_rng = jax.random.fold_in(rng, 7)
+                drop_rng = rng
+                if k is not None:
+                    aug_rng = jax.random.fold_in(aug_rng, k)
+                    drop_rng = jax.random.fold_in(jax.random.fold_in(
+                        rng, 101), k)
                 if not is_video:
                     from leccr_tpu.data.images import preprocess_train_images
 
                     data_cfg = self.cfg.data
                     model_batch["vision"] = preprocess_train_images(
-                        model_batch["vision"], flip,
-                        rng=jax.random.fold_in(rng, 7),
+                        model_batch["vision"], mb_flip,
+                        rng=aug_rng,
                         randaugment_n=(data_cfg.randaugment_n
                                        if data_cfg.randaugment else 0),
                         randaugment_m=data_cfg.randaugment_m)
-                emb = self.model.apply(
+                return self.model.apply(
                     {"params": p}, model_batch, deterministic=False,
-                    rngs={"dropout": rng})
+                    rngs={"dropout": drop_rng})
+
+            def loss_from_emb(emb):
                 losses = compute_losses(
                     emb, idx,
                     weight_caption_loss=mc.weight_caption_loss,
@@ -343,8 +424,13 @@ class Trainer:
                 grad_total = gathered / num_blocks + local
                 return grad_total, losses
 
-            (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            if gc_m > 1:
+                losses, grads = _grad_cache_grads(
+                    forward, loss_from_emb, params, batch, flip, gc_m)
+            else:
+                (_, losses), grads = jax.value_and_grad(
+                    lambda p: loss_from_emb(forward(p, batch, flip, None)),
+                    has_aux=True)(params)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt, losses
