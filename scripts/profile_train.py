@@ -24,6 +24,10 @@ from leccr_tpu.train.schedule import linear_warmup_decay
 BS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 WIDTH = 64  # token bucket
 RES, VOCAB = 384, 119547
+# --gc M: GradCache two-pass exact gradients over M microbatches
+# (trainer._grad_cache_grads) — decouples the negative pool from
+# activation HBM, enabling per-chip batches far past the dense bs128
+GC = int(sys.argv[sys.argv.index("--gc") + 1]) if "--gc" in sys.argv else 0
 
 
 def main():
@@ -55,7 +59,8 @@ def main():
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         {k: v for k, v in batch.items() if k not in ("idx", "flip")})["params"]
     print(f"init {time.time()-t0:.1f}s; params "
-          f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M")
+          f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M"
+          + (f"; GradCache m={GC}" if GC > 1 else ""))
     sched = linear_warmup_decay(1e-5, 10000, 0.1)
     tx = build_optimizer(cfg.train.optimizer, params, sched)
     opt_state = tx.init(params)
@@ -66,11 +71,14 @@ def main():
         idx = batch.pop("idx")
         flip = batch.pop("flip")
 
-        def loss_fn(p):
-            mb = dict(batch)
-            mb["vision"] = preprocess_train_images(mb["vision"], flip)
-            emb = model.apply({"params": p}, mb, deterministic=False,
-                              rngs={"dropout": rng})
+        def forward(p, mb_in, fl, k):
+            mb = dict(mb_in)
+            mb["vision"] = preprocess_train_images(mb["vision"], fl)
+            drop = rng if k is None else jax.random.fold_in(rng, k)
+            return model.apply({"params": p}, mb, deterministic=False,
+                               rngs={"dropout": drop})
+
+        def loss_from_emb(emb):
             losses = compute_losses(
                 emb, idx, weight_caption_loss=mc.weight_caption_loss,
                 weight_reg_loss=mc.weight_reg_loss,
@@ -78,7 +86,15 @@ def main():
                 weight_cv_loss=mc.weight_cv_loss)
             return losses["total"], losses
 
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if GC > 1:
+            from leccr_tpu.train.trainer import _grad_cache_grads
+
+            losses, grads = _grad_cache_grads(
+                forward, loss_from_emb, params, batch, flip, GC)
+        else:
+            (_, losses), grads = jax.value_and_grad(
+                lambda p: loss_from_emb(forward(p, batch, flip, None)),
+                has_aux=True)(params)
         import optax
 
         updates, opt_state = tx.update(grads, opt_state, params)

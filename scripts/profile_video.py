@@ -4,7 +4,14 @@ the 1-layer temporal tower + mBERT-base text/caption towers, num_queries 2
 (reference configs/cclm-base-ft/Retrieval_msrvtt.yaml:27-50).  Reports
 video-text pairs/sec/chip.
 
-Usage: python scripts/profile_video.py [batch] [--frames N]
+Usage: python scripts/profile_video.py [batch] [--frames N] [--gc M]
+                                       [--bf16-moments]
+
+--gc M runs GradCache (trainer._grad_cache_grads): two-pass exact
+gradients over M microbatches, bounding tower-activation HBM at bs/M —
+the single-chip path to the reference's global bs128 (dense bs128
+exceeds one chip's HBM; DESIGN.md).  --bf16-moments halves optimizer
+state traffic (OptimConfig.moment_dtype).
 """
 import sys
 import time
@@ -28,6 +35,7 @@ from leccr_tpu.train.schedule import linear_warmup_decay
 BS = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 FRAMES = (int(sys.argv[sys.argv.index("--frames") + 1])
           if "--frames" in sys.argv else 32)
+GC = int(sys.argv[sys.argv.index("--gc") + 1]) if "--gc" in sys.argv else 0
 WIDTH = 64  # token bucket
 VOCAB = 119547  # mBERT
 
@@ -45,6 +53,8 @@ def main():
     m.caption_interaction_layer = 2
     m.video_cv_mask_frames = False  # reference unmasked frame mean
     m.dtype = "bfloat16"
+    if "--bf16-moments" in sys.argv:
+        cfg.train.optimizer.moment_dtype = "bfloat16"
     model = LECCRModel(m)
 
     rs = np.random.RandomState(0)
@@ -67,7 +77,8 @@ def main():
         {k: v for k, v in batch.items() if k != "idx"})["params"]
     print(f"init {time.time()-t0:.1f}s; params "
           f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M "
-          f"(bs={BS}, frames={FRAMES})")
+          f"(bs={BS}, frames={FRAMES}"
+          + (f", GradCache m={GC}" if GC > 1 else "") + ")")
     sched = linear_warmup_decay(1e-5, 10000, 0.1)
     tx = build_optimizer(cfg.train.optimizer, params, sched)
     opt_state = tx.init(params)
@@ -75,9 +86,12 @@ def main():
     def step(params, opt_state, batch, rng):
         idx = batch.pop("idx")
 
-        def loss_fn(p):
-            emb = model.apply({"params": p}, batch, deterministic=False,
-                              rngs={"dropout": rng})
+        def forward(p, mb_in, fl, k):
+            drop = rng if k is None else jax.random.fold_in(rng, k)
+            return model.apply({"params": p}, mb_in, deterministic=False,
+                               rngs={"dropout": drop})
+
+        def loss_from_emb(emb):
             # video loss wiring mirrors trainer.py: cv loss is LOCAL
             losses = compute_losses(
                 emb, idx, weight_caption_loss=m.weight_caption_loss,
@@ -87,7 +101,15 @@ def main():
                 cv_loss_local=True)
             return losses["total"], losses
 
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if GC > 1:
+            from leccr_tpu.train.trainer import _grad_cache_grads
+
+            losses, grads = _grad_cache_grads(
+                forward, loss_from_emb, params, batch, None, GC)
+        else:
+            (_, losses), grads = jax.value_and_grad(
+                lambda p: loss_from_emb(forward(p, batch, None, None)),
+                has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, losses
 
