@@ -27,7 +27,7 @@ from leccr_tpu.models.leccr import LECCRModel
 
 @dataclasses.dataclass
 class ImageIndex:
-    feats: jax.Array  # [N, E] L2-normalized, device-resident
+    feats: jax.Array  # [N, E] L2-normalized, device-resident (f32 or int8)
     slots: Optional[jax.Array]  # [N, n_q, E] (double-sim fusion)
     ids: List[str]
     # set by shard_index(): rows are sharded over mesh axis `axis`
@@ -35,10 +35,86 @@ class ImageIndex:
     # masked out of every search).  None = single-device index.
     mesh: Optional[jax.sharding.Mesh] = None
     axis: str = "data"
+    # set by quantize_index(): per-row symmetric-int8 dequant scales
+    # (feats/slots are int8 and score = int8-dot × qscale × row scale)
+    scale: Optional[jax.Array] = None  # [N] f32
+    slot_scale: Optional[jax.Array] = None  # [N] f32
 
     @property
     def n_valid(self) -> int:
         return len(self.ids)
+
+    @property
+    def quantized(self) -> bool:
+        return self.scale is not None
+
+
+def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8: q = round(x / s), s = max|row| / 127.
+    Rows are the leading axis; the max runs over every other axis (a
+    [N, K, E] slot bank gets ONE scale per item, so the scale factors out
+    of the max-over-slots reduction).  Returns (int8 x, f32 scale [N])."""
+    m = jnp.max(jnp.abs(x), axis=tuple(range(1, x.ndim)), keepdims=True)
+    scale = m / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.round(x / safe).astype(jnp.int8)
+    return q, scale.reshape(x.shape[0]).astype(jnp.float32)
+
+
+def _int8_scores(q: jax.Array, f: jax.Array,
+                 fscale: jax.Array) -> jax.Array:
+    """[B, N] similarity against an int8 index: quantize the query batch
+    on the fly, run the int8×int8 dot on the MXU with int32 accumulation
+    (2× the bf16 MXU rate on v5e, 4× less index HBM read — search at
+    scale is index-bandwidth-bound), dequantize in the epilogue."""
+    qq, qs = _quantize_rows(q)
+    s = jax.lax.dot_general(
+        qq, f, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return s.astype(jnp.float32) * qs[:, None] * fscale[None, :]
+
+
+def _int8_slot_scores(q: jax.Array, sl: jax.Array,
+                      sscale: jax.Array) -> jax.Array:
+    """[B, N] max-over-slot similarity against an int8 slot bank; the
+    per-item scale is positive so it commutes with the max."""
+    qq, qs = _quantize_rows(q)
+    c = jnp.einsum("nke,be->bnk", sl, qq,
+                   preferred_element_type=jnp.int32)
+    return (jnp.max(c, axis=-1).astype(jnp.float32)
+            * qs[:, None] * sscale[None, :])
+
+
+def _feat_scores(q: jax.Array, f: jax.Array,
+                 fscale: Optional[jax.Array]) -> jax.Array:
+    return (q @ f.T) if fscale is None else _int8_scores(q, f, fscale)
+
+
+def _slot_scores(q: jax.Array, sl: jax.Array,
+                 sscale: Optional[jax.Array]) -> jax.Array:
+    if sscale is None:
+        return jnp.max(jnp.einsum("nke,be->bnk", sl, q), axis=-1)
+    return _int8_slot_scores(q, sl, sscale)
+
+
+def quantize_index(index: ImageIndex) -> ImageIndex:
+    """Symmetric per-row int8 quantization of a device index: 4× less
+    index HBM (a 10M-image × 256-d index drops 10.2 GB → 2.6 GB — HBM-
+    resident on one v5e) and the query matmul runs int8×int8 on the MXU.
+    Feature rows are L2-normalized, so per-row scales are tight and the
+    cosine ordering is preserved to ~1e-3 score error (test-pinned).
+    Quantize BEFORE shard_index; search/save/load handle the rest."""
+    if index.mesh is not None:
+        raise ValueError("quantize_index before shard_index")
+    if index.quantized:
+        return index
+    jq = jax.jit(_quantize_rows)
+    feats, scale = jq(index.feats)
+    slots, slot_scale = (None, None)
+    if index.slots is not None:
+        slots, slot_scale = jq(index.slots)
+    return ImageIndex(feats=feats, slots=slots, ids=list(index.ids),
+                      scale=scale, slot_scale=slot_scale)
 
 
 def save_index(index: ImageIndex, path: str) -> None:
@@ -63,6 +139,12 @@ def save_index(index: ImageIndex, path: str) -> None:
     if index.slots is not None:
         np.save(os.path.join(local, "slots.npy"),
                 np.asarray(index.slots)[: index.n_valid])
+    if index.scale is not None:
+        np.save(os.path.join(local, "scale.npy"),
+                np.asarray(index.scale)[: index.n_valid])
+    if index.slot_scale is not None:
+        np.save(os.path.join(local, "slot_scale.npy"),
+                np.asarray(index.slot_scale)[: index.n_valid])
     with open(os.path.join(local, "ids.json"), "w") as f:
         json.dump(index.ids, f)
     if remote is not None:
@@ -86,17 +168,19 @@ def load_index(path: str,
         local = tempfile.mkdtemp(prefix="leccr_index_")
         io.stage_remote_dir(path, local)
     feats = np.load(os.path.join(local, "feats.npy"))
-    slots_path = os.path.join(local, "slots.npy")
-    slots = np.load(slots_path) if os.path.exists(slots_path) else None
     with open(os.path.join(local, "ids.json")) as f:
         ids = json.load(f)
     if len(ids) != feats.shape[0]:
         raise ValueError(
             f"index corrupt: {len(ids)} ids vs {feats.shape[0]} rows")
+
+    def opt(name):
+        p = os.path.join(local, name + ".npy")
+        return jax.device_put(np.load(p)) if os.path.exists(p) else None
+
     index = ImageIndex(
-        feats=jax.device_put(feats),
-        slots=jax.device_put(slots) if slots is not None else None,
-        ids=list(ids))
+        feats=jax.device_put(feats), slots=opt("slots"), ids=list(ids),
+        scale=opt("scale"), slot_scale=opt("slot_scale"))
     return shard_index(index, mesh, axis) if mesh is not None else index
 
 
@@ -111,21 +195,20 @@ def shard_index(index: ImageIndex, mesh: jax.sharding.Mesh,
     w = mesh.shape[axis]
     n = index.feats.shape[0]
     pad = (-n) % w
-    feats = index.feats
-    slots = index.slots
-    if pad:
-        feats = jnp.concatenate(
-            [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
-        if slots is not None:
-            slots = jnp.concatenate(
-                [slots, jnp.zeros((pad,) + slots.shape[1:], slots.dtype)])
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    feats = jax.device_put(feats, NamedSharding(mesh, P(axis)))
-    if slots is not None:
-        slots = jax.device_put(slots, NamedSharding(mesh, P(axis)))
-    return ImageIndex(feats=feats, slots=slots, ids=list(index.ids),
-                      mesh=mesh, axis=axis)
+    def lay_out(x):
+        if x is None:
+            return None
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+    return ImageIndex(feats=lay_out(index.feats), slots=lay_out(index.slots),
+                      ids=list(index.ids), mesh=mesh, axis=axis,
+                      scale=lay_out(index.scale),
+                      slot_scale=lay_out(index.slot_scale))
 
 
 class Embedder:
@@ -150,27 +233,34 @@ class Embedder:
             {"params": p}, i, m, method="embed_texts"))
         self._embed_images = jax.jit(lambda p, b: self.model.apply(
             {"params": p}, b, method="embed_images"))
+        # fs = per-row dequant scales for an int8-quantized index (None on
+        # the f32 path; _feat_scores branches at trace time)
         self._topk = jax.jit(
-            lambda q, f, k: jax.lax.top_k(q @ f.T, k),
-            static_argnums=2)
+            lambda q, f, fs, k: jax.lax.top_k(_feat_scores(q, f, fs), k),
+            static_argnums=3)
+        # image→text over an int8 index: score text-side, then transpose
+        self._qtopk_t = jax.jit(
+            lambda t, f, fs, k: jax.lax.top_k(_feat_scores(t, f, fs).T, k),
+            static_argnums=3)
         # single-dispatch query path: tokenized query -> embed -> top-k in
         # ONE compiled program (each extra dispatch costs a full round trip
         # over a remote-device transport; measured 113 -> ~60 ms/query on
         # the tunnel at 100k indexed images)
         self._embed_and_topk = jax.jit(
-            lambda p, i, m, f, k: jax.lax.top_k(
-                self.model.apply({"params": p}, i, m,
-                                 method="embed_texts") @ f.T, k),
-            static_argnums=4)
+            lambda p, i, m, f, fs, k: jax.lax.top_k(
+                _feat_scores(self.model.apply({"params": p}, i, m,
+                                              method="embed_texts"), f, fs),
+                k),
+            static_argnums=5)
 
         # double-sim fusion (video serving): blend the feature similarity
         # with the per-slot caption similarity exactly like the eval ranker
         # (reference video_Retrieval_caption_double_sim.py:87-91,169-179;
         # leccr_tpu/eval/retrieval.py fuse()).  fusion/alpha/k are static so
         # each (fusion, alpha) pair compiles once.
-        def _fused_scores(q, f, sl, valid, fusion, alpha):
-            s = q @ f.T  # [B, N]
-            c = jnp.max(jnp.einsum("nke,be->bnk", sl, q), axis=-1)  # [B, N]
+        def _fused_scores(q, f, sl, valid, fusion, alpha, fs=None, ss=None):
+            s = _feat_scores(q, f, fs)  # [B, N]
+            c = _slot_scores(q, sl, ss)  # [B, N]
             if fusion == "raw":
                 return alpha * s + (1.0 - alpha) * c
             # minmax: norm(S) = (S - max S)/(max S - min S) over the query
@@ -186,25 +276,29 @@ class Embedder:
             return alpha * norm(s) + (1.0 - alpha) * norm(c)
 
         self._fused_topk = jax.jit(
-            lambda q, f, sl, valid, k, fusion, alpha: jax.lax.top_k(
-                _fused_scores(q, f, sl, valid, fusion, alpha), k),
-            static_argnums=(4, 5, 6))
+            lambda q, f, sl, valid, fs, ss, k, fusion, alpha: jax.lax.top_k(
+                _fused_scores(q, f, sl, valid, fusion, alpha, fs, ss), k),
+            static_argnums=(6, 7, 8))
         self._embed_and_fused_topk = jax.jit(
-            lambda p, i, m, f, sl, valid, k, fusion, alpha: jax.lax.top_k(
+            lambda p, i, m, f, sl, valid, fs, ss, k, fusion, alpha:
+            jax.lax.top_k(
                 _fused_scores(
                     self.model.apply({"params": p}, i, m,
                                      method="embed_texts"),
-                    f, sl, valid, fusion, alpha), k),
-            static_argnums=(6, 7, 8))
+                    f, sl, valid, fusion, alpha, fs, ss), k),
+            static_argnums=(8, 9, 10))
 
     def _sharded_search_prog(self, mesh, axis, k: int, fusion: str,
-                             alpha: float, n_valid: int, with_slots: bool):
+                             alpha: float, n_valid: int, with_slots: bool,
+                             quant: bool):
         """One compiled program per (mesh, statics): tokenized queries →
         embed (replicated) → per-shard scores + local top-k → all_gather
         of the [B, W·k] candidates → global top-k.  The minmax fusion's
         global min/max become pmax/pmin over the shard axis (two scalar
-        all-reduces — the same two the sharded evaluator pays)."""
-        key = (mesh, axis, k, fusion, alpha, n_valid, with_slots)
+        all-reduces — the same two the sharded evaluator pays).  quant=True
+        is the int8 index layout: per-row dequant scales ride the same
+        row sharding as the feats/slots they scale."""
+        key = (mesh, axis, k, fusion, alpha, n_valid, with_slots, quant)
         prog = self._sharded_progs.get(key)
         if prog is not None:
             return prog
@@ -212,14 +306,14 @@ class Embedder:
 
         from leccr_tpu.parallel.ring import shard_map
 
-        def body(q, f, sl, valid_q):
+        def body(q, f, sl, valid_q, fs=None, ss=None):
             # q [B, E] replicated; f [n_loc, E] / sl [n_loc, n_q, E] local
             n_loc = f.shape[0]
             gid = jax.lax.axis_index(axis) * n_loc + jnp.arange(n_loc)
             live = gid < n_valid
-            s = q @ f.T  # [B, n_loc]
+            s = _feat_scores(q, f, fs)  # [B, n_loc]
             if fusion != "none":
-                c = jnp.max(jnp.einsum("nke,be->bnk", sl, q), axis=-1)
+                c = _slot_scores(q, sl, ss)
                 if fusion == "minmax":
                     def norm(x):
                         m = valid_q[:, None] & live[None, :]
@@ -239,15 +333,16 @@ class Embedder:
             fs, pos = jax.lax.top_k(s_all, k)
             return fs, jnp.take_along_axis(i_all, pos, axis=1)
 
-        mapped = shard_map(
-            body, mesh,
-            in_specs=(P(), P(axis), P(axis), P()),
-            out_specs=(P(), P()))
+        specs = (P(), P(axis), P(axis), P())
+        if quant:
+            specs += (P(axis), P(axis))
+        mapped = shard_map(body, mesh, in_specs=specs,
+                           out_specs=(P(), P()))
 
-        def prog(params, ids, mask, f, sl, valid_q):
+        def prog(params, ids, mask, f, sl, valid_q, *scales):
             q = self.model.apply({"params": params}, ids, mask,
                                  method="embed_texts")
-            return mapped(q, f, sl, valid_q)
+            return mapped(q, f, sl, valid_q, *scales)
 
         prog = jax.jit(prog)
         self._sharded_progs[key] = prog
@@ -261,11 +356,16 @@ class Embedder:
                              "index")
         prog = self._sharded_search_prog(
             index.mesh, index.axis, k, fusion, float(alpha),
-            index.n_valid, with_slots)
+            index.n_valid, with_slots, index.quantized)
         # the slots input must exist even on the feature-only path (it is
         # DCE'd inside the program); a row-sharded view of feats keeps the
         # dummy on the same layout with no extra transfer
         sl = index.slots if with_slots else index.feats[:, :1, None]
+        scales = ()
+        if index.quantized:
+            # the slot-scale slot is likewise DCE'd when fusion == "none"
+            scales = (index.scale,
+                      index.slot_scale if with_slots else index.scale)
         bs = self.batch_size
         out_s, out_i = [], []
         for i in range(0, len(queries), bs):
@@ -275,7 +375,7 @@ class Embedder:
             ids, mask = self.tokenizer.encode(chunk, self.cfg.data.max_tokens)
             valid_q = np.arange(bs) < n
             scores, idxs = prog(self.params, ids, mask, index.feats, sl,
-                                valid_q)
+                                valid_q, *scales)
             out_s.append(np.asarray(scores)[:n])
             out_i.append(np.asarray(idxs)[:n])
         return np.concatenate(out_s), np.concatenate(out_i)
@@ -476,30 +576,37 @@ class Embedder:
                 chunk, self.cfg.data.max_tokens)
             if fusion == "none":
                 scores, idxs = self._embed_and_topk(
-                    self.params, ids, mask, index.feats, k)
+                    self.params, ids, mask, index.feats, index.scale, k)
             else:
                 valid = np.arange(self.batch_size) < n
                 scores, idxs = self._embed_and_fused_topk(
                     self.params, ids, mask, index.feats, index.slots,
-                    valid, k, fusion, alpha)
+                    valid, index.scale, index.slot_scale, k, fusion, alpha)
             scores, idxs = np.asarray(scores)[:n], np.asarray(idxs)[:n]
         else:
             q = jnp.asarray(self.embed_texts(queries))
             if fusion == "none":
-                scores, idxs = self._topk(q, index.feats, k)
+                scores, idxs = self._topk(q, index.feats, index.scale, k)
             else:
                 valid = np.ones((q.shape[0],), bool)
                 scores, idxs = self._fused_topk(
-                    q, index.feats, index.slots, valid, k, fusion, alpha)
+                    q, index.feats, index.slots, valid, index.scale,
+                    index.slot_scale, k, fusion, alpha)
             scores, idxs = np.asarray(scores), np.asarray(idxs)
         return [[(index.ids[j], float(s)) for j, s in zip(row_i, row_s)]
                 for row_i, row_s in zip(idxs, scores)]
 
     def search_images(self, index: ImageIndex, texts: Sequence[str],
                       k: int = 10) -> List[List[Tuple[int, float]]]:
-        """image → text retrieval over an embedded text corpus."""
+        """image → text retrieval over an embedded text corpus.  For an
+        int8 index the similarity runs text-side (_feat_scores needs the
+        quantized operand in index position) and transposes — same
+        [N, T] score matrix either way."""
         t = jnp.asarray(self.embed_texts(texts))
         k = min(k, t.shape[0])
-        scores, idxs = self._topk(index.feats, t, k)
+        if index.quantized:
+            scores, idxs = self._qtopk_t(t, index.feats, index.scale, k)
+        else:
+            scores, idxs = self._topk(index.feats, t, None, k)
         return [[(int(j), float(s)) for j, s in zip(ri, rs)]
                 for ri, rs in zip(np.asarray(idxs), np.asarray(scores))]

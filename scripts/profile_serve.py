@@ -5,7 +5,12 @@ The reference has no serving story (its eval loop is offline batch
 ranking); this measures the beyond-reference serving path at flagship
 scale: mBERT query embed + fused top-k against N indexed images.
 
-Usage: python scripts/profile_serve.py [n_index_images]
+Usage: python scripts/profile_serve.py [n_index_images] [--int8]
+
+--int8 additionally measures the same queries against the int8-quantized
+index (serve.quantize_index): 4× less index HBM and an int8×int8 MXU
+matmul — the win scales with index size (search is index-bandwidth-bound
+past ~1M rows; a 10M×256 index is 2.6 GB int8 vs 10.2 GB f32).
 """
 import sys
 import time
@@ -83,9 +88,30 @@ def main():
         results = emb.search_texts(queries, index, k=10)
     lat8 = (time.time() - t0) / n
     assert len(results) == 8 and len(results[0]) == 10
-    print(f"index={N_IMG} images; single-query latency {lat*1000:.1f} ms "
+    print(f"index={N_IMG} images ({index.feats.nbytes/2**20:.0f} MiB); "
+          f"single-query latency {lat*1000:.1f} ms "
           f"({1/lat:.0f} QPS); batch-8 {lat8*1000:.1f} ms "
           f"({8/lat8:.0f} QPS)")
+
+    if "--int8" in sys.argv:
+        from leccr_tpu.serve import quantize_index
+
+        qdx = quantize_index(index)
+        _ = emb.search_texts(queries[:1], qdx, k=10)
+        _ = emb.search_texts(queries, qdx, k=10)
+        t0 = time.time()
+        for _ in range(n):
+            results = emb.search_texts(queries[:1], qdx, k=10)
+        qlat = (time.time() - t0) / n
+        t0 = time.time()
+        for _ in range(n):
+            results = emb.search_texts(queries, qdx, k=10)
+        qlat8 = (time.time() - t0) / n
+        assert len(results) == 8 and len(results[0]) == 10
+        print(f"int8 index ({qdx.feats.nbytes/2**20:.0f} MiB): "
+              f"single-query latency {qlat*1000:.1f} ms "
+              f"({1/qlat:.0f} QPS); batch-8 {qlat8*1000:.1f} ms "
+              f"({8/qlat8:.0f} QPS)")
 
     # double-sim (video) serving: feature sim blended with per-slot caption
     # sim (fusion="minmax", the video evaluator's ranking) over a

@@ -287,3 +287,74 @@ def test_profiling_utils(tmp_path):
     t.tick()
     s = t.summary()
     assert s["steps"] == 2 and s["steps_per_sec"] > 0
+
+
+def test_quantized_index_matches_fp32(embedder, tmp_path):
+    """int8 per-row index quantization (quantize_index): scores stay
+    within quantization tolerance of fp32 on every fusion path, the
+    sharded int8 search is EXACTLY the single-device int8 search, the
+    quantized index survives save/load bit-for-bit, and image->text
+    works through the transposed text-side path."""
+    from jax.sharding import Mesh
+
+    from leccr_tpu.serve import (load_index, quantize_index, save_index,
+                                 shard_index)
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(5)
+    images = rs.randint(0, 255, (10, res, res, 3)).astype(np.uint8)
+    captions = [f"a man rides his red bike {i}" for i in range(10)]
+    index = embedder.build_image_index(images, captions,
+                                       ids=[f"img{i}" for i in range(10)])
+    qdx = quantize_index(index)
+    assert qdx.quantized and qdx.feats.dtype == jnp.int8
+    assert qdx.slots.dtype == jnp.int8 and qdx.scale.shape == (10,)
+    # storage really is 4x smaller per element
+    assert qdx.feats.nbytes * 4 == index.feats.nbytes
+
+    queries = ["a man rides", "red dog", "field", "his bike"]
+    for fusion, atol in (("none", 0.03), ("raw", 0.03)):
+        want = embedder.search_texts(queries, index, k=10, fusion=fusion)
+        got = embedder.search_texts(queries, qdx, k=10, fusion=fusion)
+        for w_row, g_row in zip(want, got):
+            w = dict(w_row)
+            for item, s in g_row:
+                np.testing.assert_allclose(s, w[item], atol=atol)
+    # minmax normalizes by the batch score range; smoke-level check
+    hits = embedder.search_texts(queries, qdx, k=3, fusion="minmax")
+    assert all(len(r) == 3 and np.isfinite([h[1] for h in r]).all()
+               for r in hits)
+
+    # sharded int8 == single-device int8, exactly (same integer math)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+    sq = shard_index(qdx, mesh)
+    assert sq.feats.dtype == jnp.int8 and sq.scale.shape[0] == 16
+    for fusion in ("none", "raw", "minmax"):
+        want = embedder.search_texts(queries, qdx, k=5, fusion=fusion)
+        got = embedder.search_texts(queries, sq, k=5, fusion=fusion)
+        for w_row, g_row in zip(want, got):
+            assert [h[0] for h in w_row] == [h[0] for h in g_row]
+            np.testing.assert_allclose([h[1] for h in w_row],
+                                       [h[1] for h in g_row], atol=1e-5)
+
+    # save/load round trip keeps the int8 payload + scales
+    save_index(qdx, str(tmp_path / "qidx"))
+    loaded = load_index(str(tmp_path / "qidx"))
+    assert loaded.quantized and loaded.feats.dtype == jnp.int8
+    want = embedder.search_texts(queries[:2], qdx, k=4)
+    got = embedder.search_texts(queries[:2], loaded, k=4)
+    assert [(h[0], round(h[1], 6)) for h in want[0]] == \
+           [(h[0], round(h[1], 6)) for h in got[0]]
+
+    # image->text transposed path
+    i2t_w = embedder.search_images(index, queries, k=2)
+    i2t_g = embedder.search_images(qdx, queries, k=2)
+    for w_row, g_row in zip(i2t_w, i2t_g):
+        for (wi, ws), (gi, gs) in zip(w_row, g_row):
+            np.testing.assert_allclose(gs, ws, atol=0.03)
+
+    # quantize after shard is an error; double-quantize is a no-op
+    with pytest.raises(ValueError):
+        quantize_index(shard_index(index, mesh))
+    assert quantize_index(qdx) is qdx
