@@ -109,6 +109,53 @@ def main():
         step_flops = float(cost.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
+    if GC > 1 and step_flops:
+        # XLA's cost analysis counts each lax.scan BODY once, not x
+        # trip-count, so a GradCache step (two scans over GC microbatches)
+        # is undercounted by (GC-1) copies of the pass-1 forward and the
+        # pass-2 microbatch vjp.  Cost-analyze those two bodies at
+        # microbatch size (client-side HLO analysis; no device compile)
+        # and add the missing copies back.
+        try:
+            def lowered_flops(lowered):
+                # Lowered.cost_analysis() (client-side) returns None on
+                # some backends (axon tunnel) -> fall back to compiling.
+                cost = lowered.cost_analysis()
+                if cost is None:
+                    cost = lowered.compile().cost_analysis()
+                return float(cost.get("flops", 0.0))
+
+            mb_bs = BS // GC
+            mb = {k: v[:mb_bs] for k, v in batch.items()
+                  if k not in ("idx", "flip")}
+            fl_mb = batch["flip"][:mb_bs]
+
+            def fwd_body(p, mb_in, fl):
+                b = dict(mb_in)
+                b["vision"] = preprocess_train_images(b["vision"], fl)
+                return model.apply({"params": p}, b, deterministic=False,
+                                   rngs={"dropout": rng})
+
+            f_fwd = lowered_flops(jax.jit(fwd_body).lower(params, mb, fl_mb))
+
+            emb_shape = jax.eval_shape(fwd_body, params, mb, fl_mb)
+            ct = jax.tree.map(lambda s: jnp.ones(s.shape, s.dtype),
+                              emb_shape)
+
+            def vjp_body(p, mb_in, fl, cot):
+                _, f = jax.vjp(lambda q: fwd_body(q, mb_in, fl), p)
+                return f(cot)
+
+            f_vjp = lowered_flops(
+                jax.jit(vjp_body).lower(params, mb, fl_mb, ct))
+            step_flops += (GC - 1) * (f_fwd + f_vjp)
+            print(f"GradCache FLOP correction: scan bodies fwd "
+                  f"{f_fwd/1e12:.2f} TF + vjp {f_vjp/1e12:.2f} TF x "
+                  f"{GC - 1} missing trips added to XLA's count")
+        except Exception as e:
+            print(f"GradCache FLOP correction unavailable ({e!r}); "
+                  f"MFU below UNDERCOUNTS by ~{GC}x (scan bodies "
+                  f"counted once)")
     t0 = time.time()
     params, opt_state, losses = jstep(params, opt_state, dict(batch), rng)
     # value fetch = real barrier (block_until_ready is lazy over the
