@@ -52,22 +52,10 @@ VOCAB = 119547
 
 def _probe_backend(timeout_s: float = 45.0) -> str | None:
     """Backend platform name via a bounded subprocess probe, or None when no
-    backend comes up in time.  jax.devices() hangs for minutes when the TPU
-    tunnel is dead (the round-3 BENCH_r03 rc=1 after a long stall), so the
-    probe must never run in-process."""
-    import subprocess
+    backend comes up in time (shared probe — leccr_tpu/utils/probe.py)."""
+    from leccr_tpu.utils.probe import probe_backend
 
-    timeout_s = float(os.environ.get("LECCR_PROBE_TIMEOUT", timeout_s))
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print(jax.default_backend())"],
-            capture_output=True, text=True, timeout=timeout_s)
-        if proc.returncode == 0:
-            return proc.stdout.strip().splitlines()[-1]
-    except Exception:
-        pass
-    return None
+    return probe_backend(timeout_s)
 
 
 def _enable_compile_cache() -> None:

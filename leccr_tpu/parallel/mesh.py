@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from leccr_tpu.config import ParallelConfig
 
 
-def _dcn_slice_major(devices, dcn: int):
+def _dcn_slice_major(devices, dcn: int, need: Optional[int] = None):
     """Order devices slice-major for a multi-slice (DCN-connected) pod.
 
     The mesh keeps its two LOGICAL axes; multi-slice locality is purely a
@@ -40,15 +40,27 @@ def _dcn_slice_major(devices, dcn: int):
 
     Devices that expose `slice_index` (real multi-slice TPU) are sorted by
     (slice_index, id); otherwise (virtual/CPU meshes, single slice) the
-    given order is trusted as slice-major."""
+    given order is trusted as slice-major.
+
+    `need` (the mesh's device count) lets the ordering be VALIDATED, not
+    just produced: each of the `dcn` contiguous groups of `need/dcn`
+    devices must be a union of whole physical slices — a slice straddling
+    a group boundary would silently put intra-group collectives on DCN,
+    defeating the locality this ordering exists to provide."""
     ids = [getattr(d, "slice_index", None) for d in devices]
     if any(i is None for i in ids):
         return list(devices)
-    n_slices = len(set(ids))
-    assert n_slices % dcn == 0 or dcn % n_slices == 0 or dcn <= n_slices, (
-        f"dcn_data={dcn} over {n_slices} hardware slices")
     order = sorted(range(len(devices)),
                    key=lambda k: (ids[k], devices[k].id))
+    if need is not None:
+        sel = [ids[k] for k in order[:need]]
+        gsz = need // dcn
+        for g in range(1, dcn):
+            assert sel[g * gsz - 1] != sel[g * gsz], (
+                f"dcn_data={dcn}: physical slice {sel[g * gsz]} straddles "
+                f"the boundary between dcn groups {g - 1} and {g} "
+                f"(slice sizes don't tile the {need}-device mesh into "
+                f"{dcn} slice-aligned groups)")
     return [devices[k] for k in order]
 
 
@@ -69,7 +81,7 @@ def make_mesh(cfg: Optional[ParallelConfig] = None,
             f"data={data} must split evenly over dcn_data={dcn} slices")
         assert need % dcn == 0 and (need // dcn) % model == 0, (
             f"model={model} groups must not straddle a slice boundary")
-        devices = _dcn_slice_major(devices, dcn)
+        devices = _dcn_slice_major(devices, dcn, need)
     arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 

@@ -117,6 +117,56 @@ def quantize_index(index: ImageIndex) -> ImageIndex:
                       scale=scale, slot_scale=slot_scale)
 
 
+def merge_indexes(a: ImageIndex, b: ImageIndex) -> ImageIndex:
+    """Incremental index maintenance: append ``b``'s items to ``a``
+    (build_image_index/build_video_index the new items, then merge — no
+    re-embed of the existing corpus).  Exact for int8 indexes too: the
+    dequant scales are per-row, so existing rows keep their bytes and
+    scales bit-for-bit.  Both operands must share a layout (same
+    quantization, same slot presence) and be unsharded — re-shard the
+    merged index for pod serving."""
+    if a.mesh is not None or b.mesh is not None:
+        raise ValueError("merge unsharded indexes (shard_index after)")
+    if a.quantized != b.quantized:
+        raise ValueError("cannot merge a quantized index with an fp32 one")
+    if (a.slots is None) != (b.slots is None):
+        raise ValueError("cannot merge a slot-carrying index with a "
+                         "feats-only one")
+    dup = set(a.ids) & set(b.ids)
+    if dup:
+        raise ValueError(f"duplicate ids in merge: {sorted(dup)[:5]} ...")
+
+    def cat(x, y):
+        return None if x is None else jnp.concatenate([x, y])
+
+    return ImageIndex(
+        feats=cat(a.feats, b.feats), slots=cat(a.slots, b.slots),
+        ids=list(a.ids) + list(b.ids), scale=cat(a.scale, b.scale),
+        slot_scale=cat(a.slot_scale, b.slot_scale))
+
+
+def remove_from_index(index: ImageIndex, ids: Sequence[str]) -> ImageIndex:
+    """Drop items by id (deleted/expired corpus entries) without
+    re-embedding anything; unknown ids are an error.  Unsharded only —
+    re-shard after."""
+    if index.mesh is not None:
+        raise ValueError("remove from the unsharded index (re-shard after)")
+    drop = set(ids)
+    unknown = drop - set(index.ids)
+    if unknown:
+        raise ValueError(f"unknown ids: {sorted(unknown)[:5]} ...")
+    keep = np.asarray([i not in drop for i in index.ids])
+    rows = jnp.asarray(np.nonzero(keep)[0])
+
+    def take(x):
+        return None if x is None else jnp.take(x, rows, axis=0)
+
+    return ImageIndex(
+        feats=take(index.feats), slots=take(index.slots),
+        ids=[i for i in index.ids if i not in drop],
+        scale=take(index.scale), slot_scale=take(index.slot_scale))
+
+
 def save_index(index: ImageIndex, path: str) -> None:
     """Persist an index (feats/slots/ids) so serving restarts skip the
     embed pass — build once with build_image_index/build_video_index,
@@ -176,12 +226,20 @@ def load_index(path: str,
 
     def opt(name):
         p = os.path.join(local, name + ".npy")
-        return jax.device_put(np.load(p)) if os.path.exists(p) else None
+        return np.load(p) if os.path.exists(p) else None
 
+    # keep host-resident until the layout is known: with a mesh the rows
+    # go straight to their shards (an index bigger than ONE device's HBM
+    # must never be staged unsharded)
     index = ImageIndex(
-        feats=jax.device_put(feats), slots=opt("slots"), ids=list(ids),
+        feats=feats, slots=opt("slots"), ids=list(ids),
         scale=opt("scale"), slot_scale=opt("slot_scale"))
-    return shard_index(index, mesh, axis) if mesh is not None else index
+    if mesh is not None:
+        return shard_index(index, mesh, axis)
+    put = lambda x: None if x is None else jax.device_put(x)  # noqa: E731
+    return ImageIndex(feats=put(feats), slots=put(index.slots),
+                      ids=index.ids, scale=put(index.scale),
+                      slot_scale=put(index.slot_scale))
 
 
 def shard_index(index: ImageIndex, mesh: jax.sharding.Mesh,
@@ -200,9 +258,14 @@ def shard_index(index: ImageIndex, mesh: jax.sharding.Mesh,
     def lay_out(x):
         if x is None:
             return None
+        # pad on the host: device_put with a sharding sends each row
+        # range straight to its shard, so the full padded array is never
+        # resident on any single device (the whole point of sharding an
+        # index that exceeds one chip's HBM)
+        x = np.asarray(x)
         if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            x = np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
         return jax.device_put(x, NamedSharding(mesh, P(axis)))
 
     return ImageIndex(feats=lay_out(index.feats), slots=lay_out(index.slots),
@@ -451,6 +514,34 @@ class Embedder:
             mask = (ids != 0).astype(np.int32)
         return {"caption_ids": ids, "caption_mask": mask}
 
+    def _embed_chunks(self, n: int, chunk_fn, mllm_captions: Sequence[str],
+                      ids: Optional[List[str]]) -> ImageIndex:
+        """Shared index-build loop: chunk_fn(i) -> (vision sub-batch dict,
+        count).  Pads every chunk to batch_size by repeating the last row
+        (ONE static shape -> one compiled program), tokenizes the chunk's
+        captions, embeds, slices the pads back off.  All dispatches stay
+        async: embeddings accumulate on device and concatenate there; no
+        per-batch host round trip."""
+        feats, slots = [], []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            vis, count = chunk_fn(i)
+            pad = bs - count
+            if pad:
+                vis = {k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)])
+                       for k, v in vis.items()}
+            caps = list(mllm_captions[i: i + count])
+            caps += [caps[-1]] * pad
+            batch = self._caption_batch(caps)
+            batch.update(vis)
+            out = self._embed_images(self.params, batch)
+            feats.append(out["feat"][:count])
+            slots.append(out["slots"][:count])
+        return ImageIndex(
+            feats=jnp.concatenate(feats),
+            slots=jnp.concatenate(slots),
+            ids=list(ids) if ids else [str(i) for i in range(n)])
+
     def build_image_index(
         self,
         images: Sequence[str] | np.ndarray,
@@ -461,31 +552,16 @@ class Embedder:
         array [N, H, W, 3]."""
         res = self.cfg.model.vision.image_res
         n = len(images)
-        feats, slots = [], []
-        bs = self.batch_size
-        # all dispatches stay async: embeddings accumulate on device and
-        # concatenate there; no per-batch host round trip
-        for i in range(0, n, bs):
-            chunk = images[i: i + bs]
+
+        def chunk(i):
+            chunk = images[i: i + self.batch_size]
             if isinstance(chunk[0], str):
                 arr = np.stack([load_eval_image(p, res) for p in chunk])
             else:
                 arr = np.asarray(chunk)
-            count = arr.shape[0]
-            if count < bs:
-                arr = np.concatenate(
-                    [arr, np.repeat(arr[-1:], bs - count, 0)])
-            caps = list(mllm_captions[i: i + count])
-            caps += [caps[-1]] * (bs - count)
-            batch = self._caption_batch(caps)
-            batch["vision"] = normalize_images(jnp.asarray(arr))
-            out = self._embed_images(self.params, batch)
-            feats.append(out["feat"][:count])
-            slots.append(out["slots"][:count])
-        return ImageIndex(
-            feats=jnp.concatenate(feats),
-            slots=jnp.concatenate(slots),
-            ids=list(ids) if ids else [str(i) for i in range(n)])
+            return {"vision": normalize_images(jnp.asarray(arr))}, len(chunk)
+
+        return self._embed_chunks(n, chunk, mllm_captions, ids)
 
     def build_video_index(
         self,
@@ -527,26 +603,12 @@ class Embedder:
                 t = min(f.shape[0], t_max)
                 arr[i, :t] = f[:t]
                 m[i, :t] = True
-        feats, slots = [], []
-        bs = self.batch_size
-        for i in range(0, n, bs):
-            v, vm = arr[i: i + bs], m[i: i + bs]
-            count = v.shape[0]
-            if count < bs:
-                v = np.concatenate([v, np.repeat(v[-1:], bs - count, 0)])
-                vm = np.concatenate([vm, np.repeat(vm[-1:], bs - count, 0)])
-            caps = list(mllm_captions[i: i + count])
-            caps += [caps[-1]] * (bs - count)
-            batch = self._caption_batch(caps)
-            batch["vision"] = jnp.asarray(v)
-            batch["vision_mask"] = jnp.asarray(vm)
-            out = self._embed_images(self.params, batch)
-            feats.append(out["feat"][:count])
-            slots.append(out["slots"][:count])
-        return ImageIndex(
-            feats=jnp.concatenate(feats),
-            slots=jnp.concatenate(slots),
-            ids=list(ids) if ids else [str(i) for i in range(n)])
+        def chunk(i):
+            v, vm = arr[i: i + self.batch_size], m[i: i + self.batch_size]
+            return ({"vision": jnp.asarray(v),
+                     "vision_mask": jnp.asarray(vm)}, v.shape[0])
+
+        return self._embed_chunks(n, chunk, mllm_captions, ids)
 
     # ------------------------------------------------------------ search
 
@@ -560,6 +622,11 @@ class Embedder:
         alpha weights the feature term."""
         if fusion not in ("none", "raw", "minmax"):
             raise ValueError(f"unknown fusion {fusion!r}")
+        if fusion != "none" and index.slots is None:
+            raise ValueError(f"fusion={fusion!r} needs a slot-carrying "
+                             "index (built by build_image_index/"
+                             "build_video_index, or loaded from a save "
+                             "that included slots.npy)")
         k = min(k, index.n_valid)
         n = len(queries)
         alpha = float(alpha)
@@ -608,5 +675,12 @@ class Embedder:
             scores, idxs = self._qtopk_t(t, index.feats, index.scale, k)
         else:
             scores, idxs = self._topk(index.feats, t, None, k)
+        # a row-sharded index is padded to a multiple of the shard count;
+        # the pad rows sit at the END (shard_index appends), so slicing to
+        # n_valid drops exactly them.  The jitted matmul itself partitions
+        # over the sharded rows (top-k runs over the replicated text axis,
+        # so no cross-shard merge is needed on this direction).
+        scores = np.asarray(scores)[: index.n_valid]
+        idxs = np.asarray(idxs)[: index.n_valid]
         return [[(int(j), float(s)) for j, s in zip(ri, rs)]
-                for ri, rs in zip(np.asarray(idxs), np.asarray(scores))]
+                for ri, rs in zip(idxs, scores)]

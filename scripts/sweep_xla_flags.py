@@ -42,11 +42,18 @@ def run_one(flags: str, extra_args):
     if flags:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
     # each variant compiles a different program: keep the persistent cache
-    # (keyed by flags) but bound the run
-    proc = subprocess.run(
-        [sys.executable, str(Path(__file__).parent / "profile_train.py"),
-         BS, *EXTRA, *extra_args],
-        capture_output=True, text=True, timeout=1800, env=env)
+    # (keyed by flags) but bound the run.  A hung variant (exactly what an
+    # experimental --xla_tpu_* flag can cause) must not abort the sweep —
+    # report it FAILED and move on to the remaining variants.
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).parent / "profile_train.py"),
+             BS, *EXTRA, *extra_args],
+            capture_output=True, text=True, timeout=1800, env=env)
+    except subprocess.TimeoutExpired as e:
+        out = ((e.stdout or b"").decode(errors="replace")
+               if isinstance(e.stdout, bytes) else (e.stdout or ""))
+        return None, None, f"timeout after 1800s\n{out.strip()[-400:]}"
     out = proc.stdout + proc.stderr
     m = STEP_RE.search(out)
     mfu = MFU_RE.search(out)

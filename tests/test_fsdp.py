@@ -14,7 +14,6 @@ import sys
 
 import jax
 import numpy as np
-import pytest
 from jax.sharding import PartitionSpec as P
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -82,28 +81,26 @@ def _run_epoch(tmp, fsdp: bool, monkeypatch):
     return stats, metrics
 
 
-@pytest.mark.parametrize("fsdp", [False, True])
-def test_fsdp_epoch_matches_replicated(fsdp, tmp_path_factory,
-                                       monkeypatch, request):
+def test_fsdp_epoch_matches_replicated(tmp_path_factory, monkeypatch):
     """One real epoch + eval on the 8-dev virtual mesh: fsdp=True must
     reproduce the replicated run's losses (same program, different layout;
-    only reduction order differs) and produce identical retrieval ranks."""
-    stats, metrics = _run_epoch(
-        tmp_path_factory.mktemp(f"fsdp_{fsdp}"), fsdp, monkeypatch)
-    losses = {k: float(v) for k, v in stats.items() if k.startswith("loss")}
-    assert losses and all(np.isfinite(v) for v in losses.values()), losses
-    cache = request.config.cache
-    key = "leccr/fsdp_baseline"
-    payload = {"stats": losses,
-               "metrics": {k: float(v) for k, v in metrics.items()}}
-    if not fsdp:
-        cache.set(key, payload)
-        return
-    base = cache.get(key, None)
-    assert base is not None, "replicated baseline must run first"
-    for k, v in payload["stats"].items():
-        np.testing.assert_allclose(v, base["stats"][k], rtol=2e-3, atol=1e-4,
+    only reduction order differs) and produce identical retrieval ranks.
+    Both runs happen in THIS test, same process — a persisted baseline
+    (pytest cache) could go stale across code revisions or be skipped by
+    -k/--lf/xdist selection and compare apples to oranges."""
+    def run(fsdp):
+        stats, metrics = _run_epoch(
+            tmp_path_factory.mktemp(f"fsdp_{fsdp}"), fsdp, monkeypatch)
+        losses = {k: float(v) for k, v in stats.items()
+                  if k.startswith("loss")}
+        assert losses and all(np.isfinite(v) for v in losses.values()), losses
+        return losses, {k: float(v) for k, v in metrics.items()}
+
+    base_losses, base_metrics = run(False)
+    fsdp_losses, fsdp_metrics = run(True)
+    for k, v in fsdp_losses.items():
+        np.testing.assert_allclose(v, base_losses[k], rtol=2e-3, atol=1e-4,
                                    err_msg=f"loss {k} diverged under fsdp")
-    for k, v in payload["metrics"].items():
-        np.testing.assert_allclose(v, base["metrics"][k], rtol=1e-6,
+    for k, v in fsdp_metrics.items():
+        np.testing.assert_allclose(v, base_metrics[k], rtol=1e-6,
                                    err_msg=f"metric {k} diverged under fsdp")

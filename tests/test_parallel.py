@@ -145,6 +145,18 @@ def test_dcn_slice_major_ordering():
     plain = [SimpleNamespace(id=i) for i in range(4)]
     assert _dcn_slice_major(plain, dcn=2) == plain
 
+    # a physical slice straddling a dcn-group boundary must be rejected:
+    # 8 devices in 2 slices of 4, but a 6-device mesh split dcn=2 puts
+    # slice 0's last device into group 1 — intra-group collectives would
+    # silently ride DCN
+    devs2 = [SimpleNamespace(slice_index=i // 4, id=i) for i in range(8)]
+    with pytest.raises(AssertionError, match="straddles"):
+        _dcn_slice_major(devs2, dcn=2, need=6)
+    # slice-aligned selections pass: 8 devices/2 groups (one slice each)
+    assert len(_dcn_slice_major(devs2, dcn=2, need=8)) == 8
+    # ... and a partial FINAL slice is fine (groups still slice-aligned)
+    assert len(_dcn_slice_major(devs2, dcn=1, need=6)) == 8
+
 
 def test_dcn_mesh_builds_and_loss_unchanged():
     """dcn_data on the virtual CPU mesh (single hardware slice): the mesh

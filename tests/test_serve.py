@@ -358,3 +358,88 @@ def test_quantized_index_matches_fp32(embedder, tmp_path):
     with pytest.raises(ValueError):
         quantize_index(shard_index(index, mesh))
     assert quantize_index(qdx) is qdx
+
+
+def test_search_images_sharded_has_no_pad_rows(embedder):
+    """image->text over a ROW-SHARDED index: exactly n_valid result rows
+    (the shard padding appended by shard_index must never surface as
+    phantom images), each row identical to the unsharded search — f32 and
+    int8 layouts both."""
+    from jax.sharding import Mesh
+
+    from leccr_tpu.serve import quantize_index, shard_index
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(6)
+    images = rs.randint(0, 255, (10, res, res, 3)).astype(np.uint8)
+    captions = [f"a man rides his red bike {i}" for i in range(10)]
+    index = embedder.build_image_index(images, captions)
+    texts = ["a man rides", "red dog", "field"]
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+
+    for idx in (index, quantize_index(index)):
+        want = embedder.search_images(idx, texts, k=3)
+        got = embedder.search_images(shard_index(idx, mesh), texts, k=3)
+        assert len(want) == 10 and len(got) == 10  # not 16 padded rows
+        for w_row, g_row in zip(want, got):
+            assert [h[0] for h in w_row] == [h[0] for h in g_row]
+            np.testing.assert_allclose([h[1] for h in w_row],
+                                       [h[1] for h in g_row], atol=1e-5)
+
+
+def test_fusion_on_slotless_index_raises(embedder):
+    """A feats-only index (e.g. loaded from a save without slots.npy) must
+    reject slot fusions with a clear error on the single-device path, not
+    crash tracing on slots=None."""
+    feats = jnp.asarray(np.random.RandomState(7).rand(6, 8), jnp.float32)
+    idx = ImageIndex(feats=feats, slots=None, ids=[str(i) for i in range(6)])
+    for fusion in ("raw", "minmax"):
+        with pytest.raises(ValueError, match="slot-carrying"):
+            embedder.search_texts(["a man"], idx, k=2, fusion=fusion)
+
+
+def test_index_merge_and_remove(embedder):
+    """Incremental maintenance: build once, then merge_indexes for new
+    items and remove_from_index for deletions — search results identical
+    to a from-scratch rebuild, on the fp32 AND the int8 layout (per-row
+    scales make the merge exact)."""
+    from leccr_tpu.serve import (merge_indexes, quantize_index,
+                                 remove_from_index)
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(8)
+    images = rs.randint(0, 255, (9, res, res, 3)).astype(np.uint8)
+    captions = [f"a man rides his red bike {i}" for i in range(9)]
+    ids = [f"img{i}" for i in range(9)]
+    full = embedder.build_image_index(images, captions, ids=ids)
+    part = embedder.build_image_index(images[:6], captions[:6], ids=ids[:6])
+    new = embedder.build_image_index(images[6:], captions[6:], ids=ids[6:])
+
+    queries = ["a man rides", "red dog"]
+    for a, b, oracle in ((part, new, full),
+                         (quantize_index(part), quantize_index(new),
+                          quantize_index(full))):
+        merged = merge_indexes(a, b)
+        assert merged.ids == ids and merged.n_valid == 9
+        want = embedder.search_texts(queries, oracle, k=5, fusion="raw")
+        got = embedder.search_texts(queries, merged, k=5, fusion="raw")
+        for w_row, g_row in zip(want, got):
+            assert [h[0] for h in w_row] == [h[0] for h in g_row]
+            np.testing.assert_allclose([h[1] for h in w_row],
+                                       [h[1] for h in g_row], atol=1e-5)
+
+        # remove the middle items: equals an index built without them
+        removed = remove_from_index(merged, ["img3", "img4"])
+        assert removed.n_valid == 7 and "img3" not in removed.ids
+        want = embedder.search_texts(queries, removed, k=7)
+        assert all(h[0] not in ("img3", "img4") for h in want[0])
+
+    # contract errors
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_indexes(part, part)
+    with pytest.raises(ValueError, match="quantized"):
+        merge_indexes(part, quantize_index(new))
+    with pytest.raises(ValueError, match="unknown"):
+        remove_from_index(full, ["nope"])
