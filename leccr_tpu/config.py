@@ -262,6 +262,10 @@ class ParallelConfig:
     # reduce-scatters grads. Cuts per-chip state HBM ~data× — required for
     # the video model past bs64/chip (11 GB fp32 state on one chip).
     fsdp: bool = False
+    # params below this many elements stay replicated under fsdp: gathering
+    # a few KB per layer costs more in collective latency than it saves
+    # (dryruns/tests drop it to 1 so tiny towers genuinely shard)
+    fsdp_min_size: int = 1 << 16
     # global-negatives strategy for the contrastive losses:
     #  "gather":     all_gather features (reference AllGather semantics)
     #  "ring":       ppermute ring, never materializes the full logits
@@ -318,7 +322,7 @@ class TrainConfig:
 
 @dataclass
 class LECCRConfig:
-    task: str = "itr_caption"  # itr_caption | vtr_caption
+    task: str = "itr_caption"  # itr_caption | vtr_caption | serve
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)

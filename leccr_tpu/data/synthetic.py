@@ -52,9 +52,13 @@ def _concept_image(rs: np.random.RandomState, concept: int,
 def _concept_sentence(rs: np.random.RandomState, concept: int,
                       words: List[str], n_filler: int = 3) -> str:
     # concept words must be mutually distinct AND disjoint from filler, or
-    # a filler draw could make a caption's dominant word ambiguous
-    concept_word = words[concept % len(_CONCEPT_COLORS)]
-    filler = words[len(_CONCEPT_COLORS):]
+    # a filler draw could make a caption look like ANOTHER concept's (the
+    # word lists repeat articles — 'a'/'the', 'ein' — so enforce the
+    # disjointness here rather than trusting the lists)
+    n_c = len(_CONCEPT_COLORS)
+    concept_word = words[concept % n_c]
+    concept_set = set(words[:n_c])
+    filler = [w for w in words[n_c:] if w not in concept_set]
     toks = [concept_word] * 3 + list(rs.choice(filler, size=n_filler))
     rs.shuffle(toks)
     return " ".join(toks)

@@ -52,7 +52,10 @@ def _dcn_slice_major(devices, dcn: int, need: Optional[int] = None):
         return list(devices)
     order = sorted(range(len(devices)),
                    key=lambda k: (ids[k], devices[k].id))
-    if need is not None:
+    if need is not None and len({ids[k] for k in order[:need]}) > 1:
+        # single physical slice: dcn grouping is purely logical (all
+        # traffic rides ICI anyway) — only validate when the selection
+        # actually spans slices
         sel = [ids[k] for k in order[:need]]
         gsz = need // dcn
         for g in range(1, dcn):
@@ -120,10 +123,12 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
 
 # params below this size stay replicated under FSDP: gathering a few KB
 # per layer costs more in collective latency than the sharding saves
+# (default for ParallelConfig.fsdp_min_size / direct callers)
 _FSDP_MIN_SIZE = 1 << 16
 
 
-def params_shardings(mesh: Mesh, params, fsdp: bool = False) -> Any:
+def params_shardings(mesh: Mesh, params, fsdp: bool = False,
+                     fsdp_min_size: int = _FSDP_MIN_SIZE) -> Any:
     """NamedSharding pytree for the params.
 
     - model axis: tensor parallelism per `param_partition_spec`.
@@ -150,7 +155,7 @@ def params_shardings(mesh: Mesh, params, fsdp: bool = False) -> Any:
             if axis_name == "model" and axis_size % mesh.shape["model"]:
                 spec = P()
                 break
-        if data_n > 1 and leaf.size >= _FSDP_MIN_SIZE:
+        if data_n > 1 and leaf.size >= fsdp_min_size:
             dims = list(spec) + [None] * (leaf.ndim - len(spec))
             for d in sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d]):
                 if dims[d] is None and leaf.shape[d] % data_n == 0:

@@ -167,6 +167,14 @@ def remove_from_index(index: ImageIndex, ids: Sequence[str]) -> ImageIndex:
         scale=take(index.scale), slot_scale=take(index.slot_scale))
 
 
+# optional per-layout arrays a save may or may not carry; the manifest
+# records which ones belong to THIS save so a load over a re-used
+# directory (local overwrite or hdfs re-sync, which never deletes) can't
+# resurrect a previous save's stale scale.npy/slots.npy into an
+# inconsistent index (e.g. fp32 feats + leftover int8 scales)
+_INDEX_OPTIONAL = ("slots", "scale", "slot_scale")
+
+
 def save_index(index: ImageIndex, path: str) -> None:
     """Persist an index (feats/slots/ids) so serving restarts skip the
     embed pass — build once with build_image_index/build_video_index,
@@ -174,32 +182,39 @@ def save_index(index: ImageIndex, path: str) -> None:
     Sharded indexes are saved unsharded (re-shard after load)."""
     import json
     import os
+    import shutil
     import tempfile
 
     from leccr_tpu.utils import io
 
     local = path
-    remote = None
+    remote = staging = None
     if path.startswith("hdfs://"):
         remote = path
-        local = tempfile.mkdtemp(prefix="leccr_index_")
-    os.makedirs(local, exist_ok=True)
-    np.save(os.path.join(local, "feats.npy"),
-            np.asarray(index.feats)[: index.n_valid])
-    if index.slots is not None:
-        np.save(os.path.join(local, "slots.npy"),
-                np.asarray(index.slots)[: index.n_valid])
-    if index.scale is not None:
-        np.save(os.path.join(local, "scale.npy"),
-                np.asarray(index.scale)[: index.n_valid])
-    if index.slot_scale is not None:
-        np.save(os.path.join(local, "slot_scale.npy"),
-                np.asarray(index.slot_scale)[: index.n_valid])
-    with open(os.path.join(local, "ids.json"), "w") as f:
-        json.dump(index.ids, f)
-    if remote is not None:
-        io.makedirs(remote)
-        io.sync_dir_to_remote(local, remote)
+        local = staging = tempfile.mkdtemp(prefix="leccr_index_")
+    try:
+        os.makedirs(local, exist_ok=True)
+        np.save(os.path.join(local, "feats.npy"),
+                np.asarray(index.feats)[: index.n_valid])
+        written = []
+        for name in _INDEX_OPTIONAL:
+            arr = getattr(index, name)
+            p = os.path.join(local, name + ".npy")
+            if arr is not None:
+                np.save(p, np.asarray(arr)[: index.n_valid])
+                written.append(name)
+            elif os.path.exists(p):  # stale file from a previous save
+                os.remove(p)
+        with open(os.path.join(local, "ids.json"), "w") as f:
+            json.dump(index.ids, f)
+        with open(os.path.join(local, "manifest.json"), "w") as f:
+            json.dump({"optional": written, "n": index.n_valid}, f)
+        if remote is not None:
+            io.makedirs(remote)
+            io.sync_dir_to_remote(local, remote)
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def load_index(path: str,
@@ -209,31 +224,47 @@ def load_index(path: str,
     row-sharded (shard_index) in the same call."""
     import json
     import os
+    import shutil
     import tempfile
 
     from leccr_tpu.utils import io
 
     local = path
+    staging = None
     if path.startswith("hdfs://"):
-        local = tempfile.mkdtemp(prefix="leccr_index_")
+        local = staging = tempfile.mkdtemp(prefix="leccr_index_")
         io.stage_remote_dir(path, local)
-    feats = np.load(os.path.join(local, "feats.npy"))
-    with open(os.path.join(local, "ids.json")) as f:
-        ids = json.load(f)
-    if len(ids) != feats.shape[0]:
-        raise ValueError(
-            f"index corrupt: {len(ids)} ids vs {feats.shape[0]} rows")
+    try:
+        feats = np.load(os.path.join(local, "feats.npy"))
+        with open(os.path.join(local, "ids.json")) as f:
+            ids = json.load(f)
+        if len(ids) != feats.shape[0]:
+            raise ValueError(
+                f"index corrupt: {len(ids)} ids vs {feats.shape[0]} rows")
 
-    def opt(name):
-        p = os.path.join(local, name + ".npy")
-        return np.load(p) if os.path.exists(p) else None
+        # the manifest scopes the optional files to THIS save; without it
+        # (a pre-manifest save) fall back to file presence
+        mpath = os.path.join(local, "manifest.json")
+        allowed = None
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                allowed = set(json.load(f)["optional"])
 
-    # keep host-resident until the layout is known: with a mesh the rows
-    # go straight to their shards (an index bigger than ONE device's HBM
-    # must never be staged unsharded)
-    index = ImageIndex(
-        feats=feats, slots=opt("slots"), ids=list(ids),
-        scale=opt("scale"), slot_scale=opt("slot_scale"))
+        def opt(name):
+            if allowed is not None and name not in allowed:
+                return None
+            p = os.path.join(local, name + ".npy")
+            return np.load(p) if os.path.exists(p) else None
+
+        # keep host-resident until the layout is known: with a mesh the
+        # rows go straight to their shards (an index bigger than ONE
+        # device's HBM must never be staged unsharded)
+        index = ImageIndex(
+            feats=feats, slots=opt("slots"), ids=list(ids),
+            scale=opt("scale"), slot_scale=opt("slot_scale"))
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
     if mesh is not None:
         return shard_index(index, mesh, axis)
     put = lambda x: None if x is None else jax.device_put(x)  # noqa: E731
@@ -448,9 +479,19 @@ class Embedder:
                         checkpoint: Optional[str] = None,
                         batch_size: int = 64) -> "Embedder":
         from leccr_tpu.config import load_config
+
+        return cls.from_config(load_config(config_path), checkpoint,
+                               batch_size)
+
+    @classmethod
+    def from_config(cls, cfg: LECCRConfig,
+                    checkpoint: Optional[str] = None,
+                    batch_size: int = 64) -> "Embedder":
+        """Build from an already-loaded config: explicit `checkpoint`
+        (orbax dir / torch file / reference .pth) if given, else the
+        latest orbax step under cfg.output_dir, else random init."""
         from leccr_tpu.train.checkpoints import CheckpointManager
 
-        cfg = load_config(config_path)
         model = LECCRModel(cfg.model)
         rs = np.random.RandomState(0)
         width = cfg.data.token_buckets[0]
@@ -522,6 +563,8 @@ class Embedder:
         captions, embeds, slices the pads back off.  All dispatches stay
         async: embeddings accumulate on device and concatenate there; no
         per-batch host round trip."""
+        if n == 0:
+            raise ValueError("cannot build an index from zero items")
         feats, slots = [], []
         bs = self.batch_size
         for i in range(0, n, bs):
@@ -629,6 +672,8 @@ class Embedder:
                              "that included slots.npy)")
         k = min(k, index.n_valid)
         n = len(queries)
+        if n == 0:  # np.concatenate([]) on the sharded path would raise
+            return []
         alpha = float(alpha)
         if index.mesh is not None:
             scores, idxs = self._search_sharded(queries, index, k, fusion,

@@ -313,7 +313,8 @@ class Trainer:
             frozen_paths=("clip_text_tower",),
             grad_clip=self.cfg.train.grad_clip)
         shardings = params_shardings(
-            self.mesh, params, fsdp=self.cfg.parallel.fsdp)
+            self.mesh, params, fsdp=self.cfg.parallel.fsdp,
+            fsdp_min_size=self.cfg.parallel.fsdp_min_size)
         params = jax.device_put(params, shardings)
         # init the optimizer state under jit so XLA propagates the param
         # shardings into the Adam moments (replicating 2x 277M fp32 moments

@@ -13,7 +13,12 @@ call — so the launcher and trainer collapse into one entry point.
 
 Tasks: itr_caption (image-text, reference image_Retrieval_caption.py),
 vtr_caption (video-text double-sim eval,
-reference video_Retrieval_caption_double_sim.py).
+reference video_Retrieval_caption_double_sim.py), serve (beyond-reference:
+load a checkpoint + saved index and run the dynamic-batching HTTP
+retrieval frontend, leccr_tpu/serve_frontend.py):
+
+    python run.py --task serve --config out/m30k_fr/config.json \
+        --output_dir out/m30k_fr --index out/m30k_fr/index --port 8080
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from pathlib import Path
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", default="itr_caption",
-                   choices=["itr_caption", "vtr_caption"])
+                   choices=["itr_caption", "vtr_caption", "serve"])
     p.add_argument("--config", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", default="",
@@ -45,7 +50,46 @@ def parse_args():
     p.add_argument("--devices", default=0, type=int,
                    help="use only the first N local devices (0 = all; "
                         "reference --dist f1..f8/gpuN device subsets)")
+    g = p.add_argument_group("serve", "--task serve only")
+    g.add_argument("--index", default="",
+                   help="saved index dir (serve.save_index; hdfs:// ok)")
+    g.add_argument("--host", default="127.0.0.1")
+    g.add_argument("--port", default=8080, type=int)
+    g.add_argument("--serve_bs", default=64, type=int,
+                   help="embed/search batch size = max coalesced batch")
+    g.add_argument("--max_delay_ms", default=5.0, type=float,
+                   help="how long the first queued query waits for "
+                        "followers before dispatching")
     return p.parse_args()
+
+
+def serve_main(args, cfg):
+    """--task serve: checkpoint + saved index -> HTTP retrieval service."""
+    import threading
+
+    from leccr_tpu.serve import Embedder, load_index
+    from leccr_tpu.serve_frontend import DynamicBatcher, ServingFrontend
+
+    if not args.index:
+        raise SystemExit("--task serve requires --index "
+                         "(a serve.save_index directory)")
+    emb = Embedder.from_config(cfg, checkpoint=args.checkpoint or None,
+                               batch_size=args.serve_bs)
+    index = load_index(args.index)
+    print(f"### index: {index.n_valid} items"
+          + (" (int8)" if index.quantized else ""), flush=True)
+    batcher = DynamicBatcher(emb, index, max_delay=args.max_delay_ms / 1000)
+    frontend = ServingFrontend(batcher, host=args.host, port=args.port)
+    # warm the compiled search path so the first real query isn't a compile
+    batcher.search(["warmup"], k=min(10, index.n_valid))
+    print(f"### serving on http://{frontend.host}:{frontend.port} "
+          "(POST /search, GET /healthz, GET /stats)", flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        frontend.close()
 
 
 def main():
@@ -120,6 +164,9 @@ def main():
     if args.task == "vtr_caption":
         assert cfg.model.vision.kind == "temporal", (
             "vtr_caption needs a temporal vision tower in the config")
+    if args.task == "serve":
+        serve_main(args, cfg)
+        return
 
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
     cfg.save(os.path.join(args.output_dir, "config.json"))

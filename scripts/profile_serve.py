@@ -5,7 +5,7 @@ The reference has no serving story (its eval loop is offline batch
 ranking); this measures the beyond-reference serving path at flagship
 scale: mBERT query embed + fused top-k against N indexed images.
 
-Usage: python scripts/profile_serve.py [n_index_images] [--int8]
+Usage: python scripts/profile_serve.py [n_index_images] [--int8] [--frontend]
 
 --int8 additionally measures the same queries against the int8-quantized
 index (serve.quantize_index): 4× less index HBM and an int8×int8 MXU
@@ -138,6 +138,46 @@ def main():
     print(f"video index={n_vid} ({n_slots} slots, minmax double-sim); "
           f"single-query latency {vlat*1000:.1f} ms ({1/vlat:.0f} QPS); "
           f"batch-8 {vlat8*1000:.1f} ms ({8/vlat8:.0f} QPS)")
+
+    if "--frontend" in sys.argv:
+        # dynamic-batching frontend under concurrent single-query load:
+        # 32 client threads each fire sequential 1-query requests; the
+        # batcher coalesces them into shared dispatches.  Compare achieved
+        # QPS against the sequential single-query loop above (1/lat).
+        import threading
+
+        from leccr_tpu.serve_frontend import DynamicBatcher
+
+        n_clients, per_client = 32, 12
+        with DynamicBatcher(emb, index, max_delay=0.01) as b:
+            _ = b.search(queries[:1], k=10)  # warm
+            lats: list = []
+            lock = threading.Lock()
+
+            def client():
+                for _ in range(per_client):
+                    t = time.time()
+                    r = b.search(["a dog runs across the grass"], k=10)
+                    dt = time.time() - t
+                    assert len(r) == 1 and len(r[0]) == 10
+                    with lock:
+                        lats.append(dt)
+
+            threads = [threading.Thread(target=client)
+                       for _ in range(n_clients)]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.time() - t0
+            total = n_clients * per_client
+            print(f"frontend ({n_clients} concurrent clients, "
+                  f"mean batch {b.stats.dispatched_queries / b.stats.dispatches:.1f}): "
+                  f"{total / wall:.0f} QPS "
+                  f"(sequential baseline {1 / lat:.0f}); "
+                  f"p50 latency {sorted(lats)[len(lats) // 2] * 1000:.1f} ms, "
+                  f"p95 {sorted(lats)[int(len(lats) * .95)] * 1000:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -19,7 +19,6 @@ from jax.sharding import PartitionSpec as P
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from leccr_tpu.config import ParallelConfig, tiny_test_config
-from leccr_tpu.parallel import mesh as mesh_mod
 from leccr_tpu.parallel.mesh import make_mesh, params_shardings
 
 
@@ -52,13 +51,13 @@ def test_fsdp_partition_specs():
     assert sh0["embeddings"]["embedding"].spec == P(None, "model")
 
 
-def _run_epoch(tmp, fsdp: bool, monkeypatch):
+def _run_epoch(tmp, fsdp: bool):
     from leccr_tpu.train.trainer import Trainer
 
+    cfg = tiny_test_config()
     # tiny-tower params are all below the production FSDP size floor;
     # drop it so the test actually shards them
-    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_SIZE", 1)
-    cfg = tiny_test_config()
+    cfg.parallel.fsdp_min_size = 1
     cfg.output_dir = str(tmp)
     cfg.model.dropout = 0.0
     cfg.model.text.hidden_dropout = 0.0
@@ -81,7 +80,7 @@ def _run_epoch(tmp, fsdp: bool, monkeypatch):
     return stats, metrics
 
 
-def test_fsdp_epoch_matches_replicated(tmp_path_factory, monkeypatch):
+def test_fsdp_epoch_matches_replicated(tmp_path_factory):
     """One real epoch + eval on the 8-dev virtual mesh: fsdp=True must
     reproduce the replicated run's losses (same program, different layout;
     only reduction order differs) and produce identical retrieval ranks.
@@ -90,7 +89,7 @@ def test_fsdp_epoch_matches_replicated(tmp_path_factory, monkeypatch):
     -k/--lf/xdist selection and compare apples to oranges."""
     def run(fsdp):
         stats, metrics = _run_epoch(
-            tmp_path_factory.mktemp(f"fsdp_{fsdp}"), fsdp, monkeypatch)
+            tmp_path_factory.mktemp(f"fsdp_{fsdp}"), fsdp)
         losses = {k: float(v) for k, v in stats.items()
                   if k.startswith("loss")}
         assert losses and all(np.isfinite(v) for v in losses.values()), losses

@@ -156,6 +156,11 @@ def test_dcn_slice_major_ordering():
     assert len(_dcn_slice_major(devs2, dcn=2, need=8)) == 8
     # ... and a partial FINAL slice is fine (groups still slice-aligned)
     assert len(_dcn_slice_major(devs2, dcn=1, need=6)) == 8
+    # a SINGLE physical slice is always fine: dcn grouping is purely
+    # logical there (everything rides ICI), so the straddle check must
+    # not fire — dryruns force dcn=2 on single-slice hardware
+    devs1 = [SimpleNamespace(slice_index=0, id=i) for i in range(4)]
+    assert len(_dcn_slice_major(devs1, dcn=2, need=4)) == 4
 
 
 def test_dcn_mesh_builds_and_loss_unchanged():

@@ -1,0 +1,80 @@
+"""run.py --task serve end-to-end: saved index -> HTTP service answers."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def test_run_serve_cli(embedder, tmp_path):
+    from leccr_tpu.serve import save_index
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(5)
+    images = rs.randint(0, 255, (4, res, res, 3)).astype(np.uint8)
+    captions = [f"a red dog in the field {i}" for i in range(4)]
+    index = embedder.build_image_index(
+        images, captions, ids=[f"img{i}" for i in range(4)])
+    idx_dir = tmp_path / "index"
+    save_index(index, str(idx_dir))
+    cfg_path = tmp_path / "config.json"
+    cfg.save(str(cfg_path))
+
+    env = dict(os.environ, LECCR_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "run.py", "--task", "serve",
+         "--config", str(cfg_path), "--output_dir", str(tmp_path / "out"),
+         "--index", str(idx_dir), "--port", "0", "--serve_bs", "4"],
+        cwd=str(REPO), env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    killer = threading.Timer(600, proc.kill)
+    killer.start()
+    lines = []
+    try:
+        base = None
+        for line in proc.stdout:
+            lines.append(line)
+            if line.startswith("### serving on "):
+                base = line.split()[3]
+                break
+        assert base, "server never came up:\n" + "".join(lines)
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h == {"ok": True, "index_size": 4}
+
+        body = json.dumps({"queries": ["a red dog", "field"],
+                           "k": 2}).encode()
+        req = urllib.request.Request(
+            base + "/search", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["results"]) == 2
+        for hits in out["results"]:
+            assert len(hits) == 2
+            assert all(hid.startswith("img") for hid, _ in hits)
+            scores = [s for _, s in hits]
+            assert scores == sorted(scores, reverse=True)
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        # warmup dispatch + our search
+        assert stats["dispatches"] >= 2 and stats["errors"] == 0
+    finally:
+        killer.cancel()
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=30)

@@ -12,28 +12,8 @@ from leccr_tpu.models.leccr import LECCRModel
 from leccr_tpu.serve import Embedder, ImageIndex
 
 
-@pytest.fixture(scope="module")
-def embedder(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("serve")
-    vocab = tmp / "vocab.txt"
-    write_tiny_wordpiece_vocab(
-        str(vocab), "a man rides his red bike dog field".split())
-    cfg = tiny_test_config()
-    cfg.data.text_vocab = str(vocab)
-    model = LECCRModel(cfg.model)
-    rs = np.random.RandomState(0)
-    res = cfg.model.vision.image_res
-    batch = {
-        "vision": jnp.asarray(rs.rand(1, res, res, 3), jnp.float32),
-        "text_ids_s": jnp.asarray(rs.randint(1, 512, (1, 8))),
-        "text_mask_s": jnp.ones((1, 8), jnp.int32),
-        "text_ids_t": jnp.asarray(rs.randint(1, 512, (1, 8))),
-        "text_mask_t": jnp.ones((1, 8), jnp.int32),
-        "caption_ids": jnp.asarray(rs.randint(1, 512, (1, 8))),
-        "caption_mask": jnp.ones((1, 8), jnp.int32),
-    }
-    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
-    return Embedder(cfg, params, batch_size=4)
+# the shared `embedder` fixture lives in conftest.py (also used by
+# tests/test_serve_frontend.py)
 
 
 def test_embed_and_search(embedder):
@@ -443,3 +423,52 @@ def test_index_merge_and_remove(embedder):
         merge_indexes(part, quantize_index(new))
     with pytest.raises(ValueError, match="unknown"):
         remove_from_index(full, ["nope"])
+
+
+def test_save_overwrite_drops_stale_optional_files(embedder, tmp_path):
+    """Re-saving into a directory that previously held a DIFFERENT layout
+    must not resurrect the old save's optional arrays: a quantized save
+    followed by an fp32 save of the same corpus loads as a consistent fp32
+    index (no leftover scale.npy), and a slot-carrying save overwritten by
+    a feats-only one loads slotless — the manifest scopes optional files
+    to the save that wrote them."""
+    from leccr_tpu.serve import load_index, quantize_index, save_index
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(9)
+    images = rs.randint(0, 255, (5, res, res, 3)).astype(np.uint8)
+    captions = [f"a red dog in the field {i}" for i in range(5)]
+    index = embedder.build_image_index(images, captions)
+
+    d = str(tmp_path / "idx")
+    save_index(quantize_index(index), d)
+    save_index(index, d)  # overwrite with the fp32 layout
+    loaded = load_index(d)
+    assert not loaded.quantized and loaded.scale is None
+    want = embedder.search_texts(["a red dog"], index, k=3)
+    got = embedder.search_texts(["a red dog"], loaded, k=3)
+    assert [h[0] for h in want[0]] == [h[0] for h in got[0]]
+
+    # slot-carrying save overwritten by a feats-only index
+    feat_only = ImageIndex(feats=index.feats, slots=None, ids=index.ids)
+    save_index(feat_only, d)
+    loaded = load_index(d)
+    assert loaded.slots is None
+    with pytest.raises(ValueError, match="slot-carrying"):
+        embedder.search_texts(["a red dog"], loaded, k=3, fusion="raw")
+
+
+def test_search_empty_queries(embedder):
+    """Zero queries return an empty result on the unsharded AND the
+    row-sharded path (the latter used to np.concatenate([]))."""
+    from jax.sharding import Mesh
+
+    from leccr_tpu.serve import shard_index
+
+    feats = jnp.asarray(np.random.RandomState(10).rand(6, 8), jnp.float32)
+    idx = ImageIndex(feats=feats, slots=None,
+                     ids=[str(i) for i in range(6)])
+    assert embedder.search_texts([], idx, k=3) == []
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+    assert embedder.search_texts([], shard_index(idx, mesh), k=3) == []
