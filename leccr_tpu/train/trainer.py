@@ -612,17 +612,44 @@ class Trainer:
 
     # --------------------------------------------------------------- fit
 
+    def _restore_abstract(self) -> Dict[str, Any]:
+        """Abstract state for checkpoint restore, with every array leaf's
+        sharding forced onto THIS trainer's mesh.
+
+        Elastic resume: a checkpoint written on one device count restores
+        onto another (the reference's fixed NCCL world has no equivalent —
+        SURVEY.md §2c).  The subtlety is scalar opt-state leaves (Adam
+        `count` etc.): `jit(tx.init)` leaves them on a single device but
+        UNCOMMITTED, which every later jit accepts, while orbax restores
+        them COMMITTED to whatever sharding the abstract carries — so an
+        abstract built naively from `self.state` pins them to device 0 and
+        the first resumed step dies with "incompatible devices" whenever
+        the mesh changed.  Leaves whose sharding doesn't span the current
+        mesh become mesh-replicated; mesh-spanning shardings (tensor-
+        parallel params, FSDP-sharded moments) are kept so orbax reshards
+        directly into their final placement."""
+        mesh_devices = set(self.mesh.devices.flat)
+        replicated = NamedSharding(self.mesh, P())
+
+        def leaf_abstract(x):
+            sh = getattr(x, "sharding", None)
+            if sh is None or getattr(sh, "device_set", None) != mesh_devices:
+                sh = replicated
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+        return {
+            "params": jax.tree.map(leaf_abstract, self.state.params),
+            "opt_state": jax.tree.map(leaf_abstract, self.state.opt_state),
+            "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0},
+        }
+
     def fit(self, evaluate_only: bool = False) -> Dict[str, float]:
         cfg = self.cfg
         start_epoch = 0
         resume_skip = 0
         best, best_epoch = 0.0, 0
         if cfg.train.resume and self.ckpt.latest_step() is not None:
-            abstract = {
-                "params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0},
-            }
+            abstract = self._restore_abstract()
             params, opt_state, meta = self.ckpt.restore(abstract)
             step = int(meta["step"])
             # EXACT resume: epoch and in-epoch batch position both derive

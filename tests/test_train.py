@@ -487,6 +487,72 @@ def test_resume_mid_epoch_exact(tmp_path):
     assert tr2.state.step == 2 * spe
 
 
+def test_resume_on_different_mesh_size(tmp_path):
+    """Elastic recovery beyond the reference (SURVEY.md §5: reference has a
+    fixed world size — `utils/__init__.py:306-328` — and any change of GPU
+    count invalidates `checkpoint_best.pth` resume): a checkpoint written on
+    one mesh restores onto a DIFFERENT device count, including growing onto
+    more chips with FSDP-sharded params/opt-state.  The global batch size is
+    a config property (not per-device), so steps_per_epoch — and therefore
+    the exact-resume position arithmetic — is mesh-independent."""
+    from leccr_tpu.train.trainer import Trainer
+
+    def make_cfg(epochs, data, fsdp=False):
+        cfg = tiny_test_config()
+        cfg.output_dir = str(tmp_path)
+        cfg.data.dataset = "synthetic"
+        cfg.data.synthetic_size = 16
+        cfg.data.synthetic_eval_images = 4
+        cfg.train.batch_size_train = 8
+        cfg.train.batch_size_test = 4
+        cfg.train.batch_size_test_text = 8
+        cfg.train.schedular.epochs = epochs
+        cfg.parallel.data = data
+        cfg.parallel.fsdp = fsdp
+        if fsdp:
+            cfg.parallel.fsdp_min_size = 0  # shard everything divisible
+        return cfg
+
+    # train 1 epoch on 4 devices, checkpoint at the epoch boundary
+    tr1 = Trainer(make_cfg(1, 4), devices=jax.devices()[:4])
+    tr1.fit()
+    spe = tr1.steps_per_epoch
+    assert tr1.state.step == spe
+    saved = jax.device_get(tr1.state.params)
+
+    # SHRINK: resume the same run on 2 devices; params must restore
+    # value-exact across the resharding and training must continue
+    cfg2 = make_cfg(2, 2)
+    cfg2.train.resume = True
+    tr2 = Trainer(cfg2, devices=jax.devices()[:2])
+    abstract = {"params": tr2.state.params, "opt_state": tr2.state.opt_state,
+                "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0}}
+    params, _opt, meta = tr2.ckpt.restore(abstract)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 jax.device_get(params), saved)
+    assert int(meta["step"]) == spe
+    tr2.fit()
+    assert tr2.state.step == 2 * spe
+
+    # GROW: resume on 8 devices with FSDP (params + Adam moments sharded
+    # over the new, larger data axis) — orbax reshards on restore
+    cfg3 = make_cfg(3, 8, fsdp=True)
+    cfg3.train.resume = True
+    tr3 = Trainer(cfg3, devices=jax.devices()[:8])
+    # before training further, the restored params equal the step-spe*2
+    # state?  tr2 advanced past the save, so instead pin the restore path
+    # directly: a fresh resume-only trainer restores tr2's final params
+    abstract = {"params": tr3.state.params, "opt_state": tr3.state.opt_state,
+                "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0}}
+    params, _opt, meta = tr3.ckpt.restore(abstract)
+    got = jax.device_get(params)
+    want = jax.device_get(tr2.state.params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), got, want)
+    assert int(meta["step"]) == 2 * spe
+    tr3.fit()
+    assert tr3.state.step == 3 * spe
+
+
 def test_lr_mult_scales_updates():
     """A configured lr_mult path really gets lr x mult (VERDICT r1 #6):
     with identical grads and fresh Adam moments, the update magnitude of a
