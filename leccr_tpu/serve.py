@@ -562,9 +562,20 @@ class Embedder:
         (ONE static shape -> one compiled program), tokenizes the chunk's
         captions, embeds, slices the pads back off.  All dispatches stay
         async: embeddings accumulate on device and concatenate there; no
-        per-batch host round trip."""
+        per-batch host round trip.
+
+        mllm_captions may also be precomputed per-token caption FEATURE
+        arrays ([t_i, D] each — `generated_caption_type: feats`, the
+        reference's MSCOCO-CN `.npy` caption path); they are padded to one
+        dataset-global width (static shapes) and fed as `caption_feats`,
+        short-circuiting the caption encoder exactly like training does
+        (data/pipeline.py image_batches)."""
         if n == 0:
             raise ValueError("cannot build an index from zero items")
+        feats_mode = not isinstance(mllm_captions[0], str)
+        if feats_mode:
+            cap_w = max(np.asarray(c).shape[0] for c in mllm_captions)
+            cap_d = np.asarray(mllm_captions[0]).shape[1]
         feats, slots = [], []
         bs = self.batch_size
         for i in range(0, n, bs):
@@ -575,7 +586,16 @@ class Embedder:
                        for k, v in vis.items()}
             caps = list(mllm_captions[i: i + count])
             caps += [caps[-1]] * pad
-            batch = self._caption_batch(caps)
+            if feats_mode:
+                arr = np.zeros((bs, cap_w, cap_d), np.float32)
+                msk = np.zeros((bs, cap_w), np.int32)
+                for j, c in enumerate(caps):
+                    c = np.asarray(c, np.float32)
+                    arr[j, : c.shape[0]] = c
+                    msk[j, : c.shape[0]] = 1
+                batch = {"caption_feats": arr, "caption_mask": msk}
+            else:
+                batch = self._caption_batch(caps)
             batch.update(vis)
             out = self._embed_images(self.params, batch)
             feats.append(out["feat"][:count])

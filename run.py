@@ -31,7 +31,8 @@ from pathlib import Path
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", default="itr_caption",
-                   choices=["itr_caption", "vtr_caption", "serve"])
+                   choices=["itr_caption", "vtr_caption", "serve",
+                            "build_index"])
     p.add_argument("--config", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", default="",
@@ -60,7 +61,59 @@ def parse_args():
     g.add_argument("--max_delay_ms", default=5.0, type=float,
                    help="how long the first queued query waits for "
                         "followers before dispatching")
+    b = p.add_argument_group("build_index", "--task build_index only")
+    b.add_argument("--split", default="test", choices=["test", "val"],
+                   help="which dataset split's corpus to index")
+    b.add_argument("--int8", action="store_true",
+                   help="quantize the index rows to int8 (4x smaller, "
+                        "int8 MXU dot; ordering preserved to ~1e-3)")
     return p.parse_args()
+
+
+def build_index_main(args, cfg):
+    """--task build_index: checkpoint + dataset split -> saved serving index.
+
+    Completes the train -> serve pipeline from one CLI: embed the split's
+    image/video corpus (with its MLLM captions — text or precomputed
+    feats) through the trained model and persist the index for
+    `--task serve`.  The reference has no serving story at all; its
+    closest artifact is the per-epoch eval embed loop
+    (image_Retrieval_caption.py:123-145), which this reuses as a
+    deployment artifact instead of recomputing per process."""
+    import numpy as np
+
+    from leccr_tpu.serve import Embedder, quantize_index, save_index
+    from leccr_tpu.train.trainer import build_datasets
+
+    if not args.index:
+        raise SystemExit("--task build_index requires --index "
+                         "(the output directory for serve.save_index)")
+    # datasets first: for the synthetic dataset build_datasets generates
+    # the on-disk corpus AND rewrites cfg.data paths (vocab included),
+    # which the Embedder's tokenizer needs
+    _, val_ds, test_ds = build_datasets(cfg)
+    emb = Embedder.from_config(cfg, checkpoint=args.checkpoint or None,
+                               batch_size=args.serve_bs)
+    splits = test_ds if args.split == "test" else val_ds
+    # the visual corpus (and its MLLM captions) is language-independent;
+    # any language's split carries the same images/videos
+    ds = next(iter(splits.values()))
+    ids = list(ds.index.image_ids)
+    captions = [ds.generated[i] for i in ids]
+    if cfg.model.vision.kind == "temporal":
+        pairs = [ds.get(i)[0] for i in range(len(ds))]
+        index = emb.build_video_index(
+            np.stack([p[0] for p in pairs]), captions,
+            frame_masks=np.stack([p[1] for p in pairs]), ids=ids)
+    else:
+        index = emb.build_image_index(
+            [ds.image_path(i) for i in ids], captions, ids=ids)
+    if args.int8:
+        index = quantize_index(index)
+    save_index(index, args.index)
+    print(f"### built index: {index.n_valid} items"
+          + (" (int8)" if index.quantized else "")
+          + f" -> {args.index}", flush=True)
 
 
 def serve_main(args, cfg):
@@ -73,6 +126,13 @@ def serve_main(args, cfg):
     if not args.index:
         raise SystemExit("--task serve requires --index "
                          "(a serve.save_index directory)")
+    if cfg.data.dataset == "synthetic":
+        # a config snapshot from a synthetic-data run still says
+        # "synthetic": materialize the corpus paths (tokenizer vocab
+        # included) exactly as the trainer does
+        from leccr_tpu.train.trainer import build_datasets
+
+        build_datasets(cfg)
     emb = Embedder.from_config(cfg, checkpoint=args.checkpoint or None,
                                batch_size=args.serve_bs)
     index = load_index(args.index)
@@ -166,6 +226,9 @@ def main():
             "vtr_caption needs a temporal vision tower in the config")
     if args.task == "serve":
         serve_main(args, cfg)
+        return
+    if args.task == "build_index":
+        build_index_main(args, cfg)
         return
 
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)

@@ -78,3 +78,64 @@ def test_run_serve_cli(embedder, tmp_path):
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_run_full_pipeline_train_build_index_serve(tmp_path):
+    """The complete production pipeline from one CLI: train on the tiny
+    synthetic dataset, build a serving index from the trained checkpoint
+    (--task build_index), then serve it (--task serve) and query over
+    HTTP.  The reference has no serving story; this pins the beyond-
+    reference train->deploy path end to end."""
+    env = dict(os.environ, LECCR_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    out = tmp_path / "run"
+
+    def cli(*extra, timeout=900):
+        return subprocess.run(
+            [sys.executable, "run.py", "--config", "configs/tiny_synth.yaml",
+             "--output_dir", str(out), *extra],
+            cwd=str(REPO), env=env, timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    r = cli("--task", "itr_caption", "--epoch", "1")
+    assert r.returncode == 0, r.stdout[-3000:]
+
+    idx_dir = tmp_path / "index"
+    r = cli("--task", "build_index", "--index", str(idx_dir),
+            "--serve_bs", "4", "--int8")
+    assert r.returncode == 0, r.stdout[-3000:]
+    assert "### built index:" in r.stdout and "(int8)" in r.stdout
+
+    proc = subprocess.Popen(
+        [sys.executable, "run.py", "--task", "serve",
+         "--config", str(out / "config.json"), "--output_dir", str(out),
+         "--index", str(idx_dir), "--port", "0", "--serve_bs", "4"],
+        cwd=str(REPO), env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    killer = threading.Timer(600, proc.kill)
+    killer.start()
+    lines = []
+    try:
+        base = None
+        for line in proc.stdout:
+            lines.append(line)
+            if line.startswith("### serving on "):
+                base = line.split()[3]
+                break
+        assert base, "server never came up:\n" + "".join(lines)
+        body = json.dumps({"queries": ["ein mann"], "k": 2}).encode()
+        req = urllib.request.Request(
+            base + "/search", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            hits = json.loads(r.read())["results"][0]
+        assert len(hits) == 2
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+    finally:
+        killer.cancel()
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=30)

@@ -472,3 +472,31 @@ def test_search_empty_queries(embedder):
     assert embedder.search_texts([], idx, k=3) == []
     mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
     assert embedder.search_texts([], shard_index(idx, mesh), k=3) == []
+
+
+def test_build_index_caption_feats(embedder):
+    """build_image_index accepts precomputed per-token caption FEATURE
+    arrays (`generated_caption_type: feats`, the reference's MSCOCO-CN
+    `.npy` caption path) — variable-length feats pad to one global width,
+    and the result is chunking-invariant (the same corpus embedded at a
+    different batch size gives identical embeddings)."""
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    width = cfg.model.text.hidden_size
+    rs = np.random.RandomState(3)
+    images = rs.randint(0, 255, (5, res, res, 3)).astype(np.uint8)
+    feats = [rs.rand(t, width).astype(np.float32) for t in (3, 7, 5, 2, 6)]
+    index = embedder.build_image_index(images, feats,
+                                       ids=[f"img{i}" for i in range(5)])
+    assert index.feats.shape == (5, cfg.model.embed_dim)
+
+    emb2 = Embedder(cfg, embedder.params, batch_size=2)
+    index2 = emb2.build_image_index(images, feats,
+                                    ids=[f"img{i}" for i in range(5)])
+    np.testing.assert_allclose(np.asarray(index.feats),
+                               np.asarray(index2.feats), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(index.slots),
+                               np.asarray(index2.slots), atol=1e-5)
+
+    hits = embedder.search_texts(["a man rides"], index, k=3)
+    assert len(hits[0]) == 3
