@@ -41,6 +41,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 
+class BatcherOverloaded(RuntimeError):
+    """Raised by search() when the pending-query queue is full (the HTTP
+    frontend maps it to 503 so load-balancers can shed/retry elsewhere
+    instead of piling latency onto an already-saturated chip)."""
+
+
 @dataclass
 class _Request:
     queries: List[str]
@@ -56,6 +62,7 @@ class BatcherStats:
     dispatches: int = 0
     dispatched_queries: int = 0
     errors: int = 0
+    rejected: int = 0  # requests shed with BatcherOverloaded
     # wall time spent inside Embedder.search_texts, summed
     search_seconds: float = 0.0
 
@@ -78,12 +85,24 @@ class DynamicBatcher:
     """
 
     def __init__(self, embedder, index, max_batch: Optional[int] = None,
-                 max_delay: float = 0.005):
+                 max_delay: float = 0.005,
+                 max_pending: Optional[int] = None):
         self.embedder = embedder
         self.index = index
         self.max_batch = int(max_batch or embedder.batch_size)
         self.max_delay = float(max_delay)
+        # admission bound in QUERIES (not requests) across all signatures;
+        # None = unbounded.  Beyond it search() raises BatcherOverloaded
+        # immediately instead of growing the queue — queue latency past a
+        # few dispatch walls helps nobody, shedding lets the client retry
+        # against another replica
+        self.max_pending = None if max_pending is None else int(max_pending)
         self.stats = BatcherStats()
+        # recent end-to-end request latencies (enqueue -> result), seconds;
+        # bounded so /stats percentile snapshots stay O(1) memory
+        self._latencies: "collections.deque[float]" = collections.deque(
+            maxlen=2048)
+        self._pending_queries = 0
         self._cv = threading.Condition()
         # signature -> FIFO of _Request; OrderedDict keeps arrival order of
         # signatures so no signature starves behind a hot one
@@ -110,7 +129,15 @@ class DynamicBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            if (self.max_pending is not None
+                    and self._pending_queries + len(queries)
+                    > self.max_pending):
+                self.stats.rejected += 1
+                raise BatcherOverloaded(
+                    f"{self._pending_queries} queries pending >= "
+                    f"max_pending={self.max_pending}")
             self._pending.setdefault(key, collections.deque()).append(req)
+            self._pending_queries += len(queries)
             self.stats.requests += 1
             self.stats.queries += len(queries)
             self._cv.notify_all()
@@ -168,6 +195,7 @@ class DynamicBatcher:
                 r = dq.popleft()
                 reqs.append(r)
                 n += len(r.queries)
+            self._pending_queries -= n
             if not dq:
                 del self._pending[key]
             return key, reqs
@@ -185,15 +213,30 @@ class DynamicBatcher:
             for r in reqs:
                 r.future.set_exception(e)
             return
-        dt = time.monotonic() - t0
+        t1 = time.monotonic()
         with self._cv:
             self.stats.dispatches += 1
             self.stats.dispatched_queries += len(queries)
-            self.stats.search_seconds += dt
+            self.stats.search_seconds += t1 - t0
+            self._latencies.extend(t1 - r.t_enqueue for r in reqs)
         off = 0
         for r in reqs:
             r.future.set_result(results[off: off + len(r.queries)])
             off += len(r.queries)
+
+    # -------------------------------------------------------------- stats
+
+    def stats_dict(self) -> Dict[str, Any]:
+        """Counters + recent end-to-end latency percentiles (seconds)."""
+        with self._cv:
+            d = self.stats.as_dict()
+            lats = sorted(self._latencies)
+            d["pending_queries"] = self._pending_queries
+        if lats:
+            d["latency_p50_s"] = lats[len(lats) // 2]
+            d["latency_p95_s"] = lats[min(len(lats) - 1,
+                                          int(len(lats) * 0.95))]
+        return d
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -213,9 +256,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {"ok": True,
                               "index_size": batcher.index.n_valid})
         elif self.path == "/stats":
-            with batcher._cv:
-                stats = batcher.stats.as_dict()
-            self._reply(200, stats)
+            self._reply(200, batcher.stats_dict())
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -237,6 +278,8 @@ class _Handler(BaseHTTPRequestHandler):
                 alpha=float(req.get("alpha", 0.9)))
         except ValueError as e:
             self._reply(400, {"error": str(e)})
+        except BatcherOverloaded as e:  # shed load; client should retry
+            self._reply(503, {"error": str(e)})
         except Exception as e:  # index/embedder faults -> 500, not a hang
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
         else:

@@ -61,6 +61,10 @@ def parse_args():
     g.add_argument("--max_delay_ms", default=5.0, type=float,
                    help="how long the first queued query waits for "
                         "followers before dispatching")
+    g.add_argument("--max_pending", default=1024, type=int,
+                   help="admission bound in queries; beyond it /search "
+                        "returns 503 so load balancers shed/retry "
+                        "(0 = unbounded)")
     b = p.add_argument_group("build_index", "--task build_index only")
     b.add_argument("--split", default="test", choices=["test", "val"],
                    help="which dataset split's corpus to index")
@@ -138,10 +142,18 @@ def serve_main(args, cfg):
     index = load_index(args.index)
     print(f"### index: {index.n_valid} items"
           + (" (int8)" if index.quantized else ""), flush=True)
-    batcher = DynamicBatcher(emb, index, max_delay=args.max_delay_ms / 1000)
+    batcher = DynamicBatcher(emb, index, max_delay=args.max_delay_ms / 1000,
+                             max_pending=args.max_pending or None)
     frontend = ServingFrontend(batcher, host=args.host, port=args.port)
-    # warm the compiled search path so the first real query isn't a compile
+    # warm the compiled search paths so the first real query isn't a
+    # compile; indexes with slots (video / caption double-sim) also get
+    # the minmax-fusion program, the one their clients actually use
     batcher.search(["warmup"], k=min(10, index.n_valid))
+    if cfg.model.vision.kind == "temporal" and index.slots is not None:
+        # video clients search with the double-sim fusion
+        # (video_Retrieval_caption_double_sim.py eval): warm that program
+        batcher.search(["warmup"], k=min(10, index.n_valid),
+                       fusion="minmax")
     print(f"### serving on http://{frontend.host}:{frontend.port} "
           "(POST /search, GET /healthz, GET /stats)", flush=True)
     try:

@@ -170,3 +170,51 @@ def test_frontend_real_embedder(embedder):
         np.testing.assert_allclose([h[1] for h in w], [h[1] for h in g],
                                    rtol=1e-5)
     assert b.stats.dispatches <= len(queries)
+
+
+def test_batcher_overload_sheds_and_recovers():
+    """Beyond max_pending queries, search() raises BatcherOverloaded
+    immediately (no unbounded queue growth while the worker is busy);
+    once the backlog drains, new requests are admitted again."""
+    from leccr_tpu.serve_frontend import BatcherOverloaded
+
+    emb = FakeEmbedder()
+    with DynamicBatcher(emb, FakeIndex(), max_delay=0.001,
+                        max_pending=2) as b:
+        results = {}
+
+        def call(name):
+            results[name] = b.search([name], k=3)
+
+        ta = threading.Thread(target=call, args=("a",))
+        ta.start()
+        assert emb.entered_first.wait(timeout=10)  # worker stuck in call 1
+        # "a" was already drained from the queue into the dispatch, so two
+        # more fit; the third must be shed
+        tb = threading.Thread(target=call, args=("b",))
+        tc = threading.Thread(target=call, args=("c",))
+        tb.start(), tc.start()
+        while b.stats.queries < 3:
+            pass
+        with pytest.raises(BatcherOverloaded):
+            b.search(["d"], k=3)
+        assert b.stats.rejected == 1
+        emb.block_first.set()
+        for t in (ta, tb, tc):
+            t.join(timeout=10)
+        # backlog drained: admission works again
+        assert b.search(["e"], k=3) == [[("e", 3.0)]]
+    assert results == {n: [[(n, 3.0)]] for n in "abc"}
+
+
+def test_stats_latency_percentiles():
+    emb = FakeEmbedder()
+    emb.block_first.set()
+    with DynamicBatcher(emb, FakeIndex(), max_delay=0.0) as b:
+        for i in range(5):
+            b.search([f"q{i}"], k=2)
+        d = b.stats_dict()
+    assert d["pending_queries"] == 0
+    assert d["rejected"] == 0
+    assert 0 <= d["latency_p50_s"] <= d["latency_p95_s"] < 10
+    assert d["dispatches"] == 5
