@@ -305,6 +305,53 @@ def shard_index(index: ImageIndex, mesh: jax.sharding.Mesh,
                       slot_scale=lay_out(index.slot_scale))
 
 
+def load_params_for_inference(cfg: LECCRConfig,
+                              checkpoint: Optional[str] = None):
+    """Initialize LECCR params and load weights for an inference-only
+    consumer (Embedder, run.py --task export): explicit `checkpoint`
+    (orbax dir / torch file / reference .pth) if given, else the latest
+    orbax step under cfg.output_dir, else random init."""
+    from leccr_tpu.train.checkpoints import CheckpointManager
+
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(0)
+    width = cfg.data.token_buckets[0]
+    vocab = cfg.model.text.vocab_size
+    init_batch: Dict[str, np.ndarray] = {
+        "text_ids_s": rs.randint(1, vocab, (1, width)).astype(np.int32),
+        "text_mask_s": np.ones((1, width), np.int32),
+        "text_ids_t": rs.randint(1, vocab, (1, width)).astype(np.int32),
+        "text_mask_t": np.ones((1, width), np.int32),
+        "caption_ids": rs.randint(1, vocab, (1, width)).astype(np.int32),
+        "caption_mask": np.ones((1, width), np.int32),
+    }
+    if cfg.model.vision.kind == "temporal":
+        init_batch["vision"] = np.zeros(
+            (1, cfg.model.vision.max_frames,
+             cfg.model.vision.frame_feat_dim), np.float32)
+        init_batch["vision_mask"] = np.ones(
+            (1, cfg.model.vision.max_frames), bool)
+    else:
+        res = cfg.model.vision.image_res
+        init_batch["vision"] = np.zeros((1, res, res, 3), np.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                 init_batch)["params"]
+    if checkpoint:
+        from leccr_tpu.models.weights import load_initial_checkpoint
+
+        params = load_initial_checkpoint(checkpoint, params, cfg)
+    else:
+        mgr = CheckpointManager(cfg.output_dir)
+        if mgr.latest_step() is not None:
+            abstract = {"params": params, "opt_state": None,
+                        "meta": {"step": 0, "epoch": 0}}
+            try:
+                params, _, _ = mgr.restore(abstract)
+            except Exception:
+                pass
+    return params
+
+
 class Embedder:
     def __init__(self, cfg: LECCRConfig, params, batch_size: int = 64):
         self.cfg = cfg
@@ -490,45 +537,8 @@ class Embedder:
         """Build from an already-loaded config: explicit `checkpoint`
         (orbax dir / torch file / reference .pth) if given, else the
         latest orbax step under cfg.output_dir, else random init."""
-        from leccr_tpu.train.checkpoints import CheckpointManager
-
-        model = LECCRModel(cfg.model)
-        rs = np.random.RandomState(0)
-        width = cfg.data.token_buckets[0]
-        vocab = cfg.model.text.vocab_size
-        init_batch: Dict[str, np.ndarray] = {
-            "text_ids_s": rs.randint(1, vocab, (1, width)).astype(np.int32),
-            "text_mask_s": np.ones((1, width), np.int32),
-            "text_ids_t": rs.randint(1, vocab, (1, width)).astype(np.int32),
-            "text_mask_t": np.ones((1, width), np.int32),
-            "caption_ids": rs.randint(1, vocab, (1, width)).astype(np.int32),
-            "caption_mask": np.ones((1, width), np.int32),
-        }
-        if cfg.model.vision.kind == "temporal":
-            init_batch["vision"] = np.zeros(
-                (1, cfg.model.vision.max_frames,
-                 cfg.model.vision.frame_feat_dim), np.float32)
-            init_batch["vision_mask"] = np.ones(
-                (1, cfg.model.vision.max_frames), bool)
-        else:
-            res = cfg.model.vision.image_res
-            init_batch["vision"] = np.zeros((1, res, res, 3), np.float32)
-        params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
-                                     init_batch)["params"]
-        if checkpoint:
-            from leccr_tpu.models.weights import load_initial_checkpoint
-
-            params = load_initial_checkpoint(checkpoint, params, cfg)
-        else:
-            mgr = CheckpointManager(cfg.output_dir)
-            if mgr.latest_step() is not None:
-                abstract = {"params": params, "opt_state": None,
-                            "meta": {"step": 0, "epoch": 0}}
-                try:
-                    params, _, _ = mgr.restore(abstract)
-                except Exception:
-                    pass
-        return cls(cfg, params, batch_size)
+        return cls(cfg, load_params_for_inference(cfg, checkpoint),
+                   batch_size)
 
     # ------------------------------------------------------------- texts
 

@@ -15,7 +15,8 @@ Tasks: itr_caption (image-text, reference image_Retrieval_caption.py),
 vtr_caption (video-text double-sim eval,
 reference video_Retrieval_caption_double_sim.py), serve (beyond-reference:
 load a checkpoint + saved index and run the dynamic-batching HTTP
-retrieval frontend, leccr_tpu/serve_frontend.py):
+retrieval frontend, leccr_tpu/serve_frontend.py), export (trained
+checkpoint -> reference-format .pth, so migration works both ways):
 
     python run.py --task serve --config out/m30k_fr/config.json \
         --output_dir out/m30k_fr --index out/m30k_fr/index --port 8080
@@ -32,7 +33,7 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", default="itr_caption",
                    choices=["itr_caption", "vtr_caption", "serve",
-                            "build_index"])
+                            "build_index", "export"])
     p.add_argument("--config", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", default="",
@@ -65,6 +66,10 @@ def parse_args():
                    help="admission bound in queries; beyond it /search "
                         "returns 503 so load balancers shed/retry "
                         "(0 = unbounded)")
+    e = p.add_argument_group("export", "--task export only")
+    e.add_argument("--export_path", default="",
+                   help="destination .pth for the reference-format "
+                        "state_dict (torch.save)")
     b = p.add_argument_group("build_index", "--task build_index only")
     b.add_argument("--split", default="test", choices=["test", "val"],
                    help="which dataset split's corpus to index")
@@ -118,6 +123,30 @@ def build_index_main(args, cfg):
     print(f"### built index: {index.n_valid} items"
           + (" (int8)" if index.quantized else "")
           + f" -> {args.index}", flush=True)
+
+
+def export_main(args, cfg):
+    """--task export: trained checkpoint -> reference-format torch .pth.
+
+    Migration OUT of the framework: the emitted state_dict loads into the
+    reference's model under its strict=False `--checkpoint` path
+    (image_Retrieval_caption.py:384-387), so models trained here can be
+    evaluated/deployed by reference-based stacks.  `--checkpoint` picks the
+    source (orbax dir or torch file); default is the latest orbax step
+    under --output_dir."""
+    from leccr_tpu.models.weights import (export_reference_state_dict,
+                                          save_reference_checkpoint)
+    from leccr_tpu.serve import load_params_for_inference
+
+    if not args.export_path:
+        raise SystemExit("--task export requires --export_path "
+                         "(destination .pth)")
+    params = load_params_for_inference(cfg, args.checkpoint or None)
+    sd = export_reference_state_dict(params, cfg)
+    Path(args.export_path).parent.mkdir(parents=True, exist_ok=True)
+    save_reference_checkpoint(sd, args.export_path)
+    print(f"### exported {len(sd)} tensors -> {args.export_path}",
+          flush=True)
 
 
 def serve_main(args, cfg):
@@ -241,6 +270,9 @@ def main():
         return
     if args.task == "build_index":
         build_index_main(args, cfg)
+        return
+    if args.task == "export":
+        export_main(args, cfg)
         return
 
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)

@@ -262,3 +262,109 @@ def test_load_hf_xlmr_roberta_into(tmp_path):
         {"params": new["text_encoder"]}, jnp.asarray(ids), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got),
                                want.last_hidden_state.numpy(), atol=1e-4)
+
+
+def _tiny_image_batch(rs, res=64):
+    return {
+        "vision": jnp.asarray(rs.randn(2, res, res, 3), jnp.float32),
+        "text_ids_s": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "text_mask_s": jnp.ones((2, 8), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "text_mask_t": jnp.ones((2, 8), jnp.int32),
+        "caption_ids": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "caption_mask": jnp.ones((2, 8), jnp.int32),
+    }
+
+
+def test_export_reference_roundtrip_image(tmp_path):
+    """export_reference_state_dict is the exact inverse of the (oracle-
+    pinned) reference import: export our params to a reference-format
+    .pth, re-import into a DIFFERENTLY-initialized tree, and every leaf
+    round-trips bit-exact — migration works both ways."""
+    from leccr_tpu.models.weights import (export_reference_state_dict,
+                                          load_initial_checkpoint,
+                                          save_reference_checkpoint)
+
+    cfg = tiny_test_config()
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(0)
+    batch = _tiny_image_batch(rs)
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    sd = export_reference_state_dict(params, cfg)
+    path = tmp_path / "exported_best.pth"
+    save_reference_checkpoint(sd, str(path))
+    # the reference's temp is a 0-d parameter (xvlm.py:177) — the save
+    # path must not promote it to 1-d
+    loaded = torch.load(str(path), map_location="cpu", weights_only=True)
+    assert loaded["temp"].ndim == 0
+
+    params2 = model.init({"params": jax.random.PRNGKey(1)}, batch)["params"]
+    new = load_initial_checkpoint(str(path), params2, cfg)
+    jax.tree_util.tree_map_with_path(
+        lambda kp, a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(kp)),
+        jax.tree.map(np.asarray, params), new)
+    # the shared caption encoder appears under BOTH reference names
+    assert "caption_encoder.embeddings.word_embeddings.weight" in sd
+    assert "text_encoder.embeddings.word_embeddings.weight" in sd
+
+
+def test_export_reference_roundtrip_video(tmp_path):
+    from leccr_tpu.models.weights import (export_reference_state_dict,
+                                          load_initial_checkpoint,
+                                          save_reference_checkpoint)
+
+    cfg = tiny_test_config()
+    cfg.model.vision.kind = "temporal"
+    cfg.model.vision.frame_feat_dim = 48
+    cfg.model.vision.num_layers = 1
+    cfg.model.vision.num_heads = 4
+    model = LECCRModel(cfg.model)
+    rs = np.random.RandomState(2)
+    T = 6
+    batch = {
+        "vision": jnp.asarray(rs.randn(2, T, 48), jnp.float32),
+        "vision_mask": jnp.ones((2, T), bool),
+        "text_ids_s": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "text_mask_s": jnp.ones((2, 8), jnp.int32),
+        "text_ids_t": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "text_mask_t": jnp.ones((2, 8), jnp.int32),
+        "caption_ids": jnp.asarray(rs.randint(1, 512, (2, 8))),
+        "caption_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    sd = export_reference_state_dict(params, cfg)
+    assert any(k.startswith("vid_encoder.layers.0.") for k in sd)
+    path = tmp_path / "exported_video.pth"
+    save_reference_checkpoint(sd, str(path))
+    params2 = model.init({"params": jax.random.PRNGKey(3)}, batch)["params"]
+    new = load_initial_checkpoint(str(path), params2, cfg)
+    jax.tree_util.tree_map_with_path(
+        lambda kp, a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(kp)),
+        jax.tree.map(np.asarray, params), new)
+
+
+def test_run_export_cli(tmp_path):
+    """run.py --task export emits a torch-loadable reference-format .pth."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    cfg = tiny_test_config()
+    cfg_path = tmp_path / "config.json"
+    cfg.save(str(cfg_path))
+    out = tmp_path / "exported.pth"
+    env = dict(os.environ, LECCR_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "run.py", "--task", "export",
+         "--config", str(cfg_path), "--output_dir", str(tmp_path / "o"),
+         "--export_path", str(out)],
+        cwd=str(repo), env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    sd = torch.load(str(out), map_location="cpu", weights_only=True)
+    assert "clip_encoder.visual.conv1.weight" in sd
+    assert "temp" in sd and sd["temp"].ndim == 0
