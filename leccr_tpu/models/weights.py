@@ -424,11 +424,11 @@ def export_reference_state_dict(params: Dict[str, Any],
 
 
 def save_reference_checkpoint(sd: Dict[str, Any], path: str) -> None:
-    """torch.save an exported state_dict, preserving each array's exact
-    shape (np.ascontiguousarray promotes 0-d arrays — the reference's
-    scalar `temp`, xvlm.py:177 — to 1-d, so reshape back)."""
+    """torch.save an exported state_dict.  torch.tensor (not from_numpy)
+    copies, so read-only JAX-backed arrays are fine, and it preserves 0-d
+    shapes — the reference's `temp` is a scalar parameter (xvlm.py:177)
+    that np.ascontiguousarray would promote to 1-d."""
     import torch
 
-    torch.save(
-        {k: torch.from_numpy(np.ascontiguousarray(v)).reshape(np.shape(v))
-         for k, v in sd.items()}, path)
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()},
+               path)

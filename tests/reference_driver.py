@@ -184,14 +184,87 @@ def video_main(out: str) -> None:
     print("REF_DRIVER_OK")
 
 
+def export_check_main(out: str, sd_path: str) -> None:
+    """--check-export: load an leccr_tpu-EXPORTED state_dict into the
+    ACTUAL reference model (its strict=False `--checkpoint` path,
+    image_Retrieval_caption.py:384-387) and run the reference's own
+    evaluation_coarse + itm_eval on the shared deterministic eval data.
+    The parity test compares these against the exporting params' own
+    eval — pinning the export direction end to end through reference
+    code, not through our re-derivation of it."""
+    import numpy as np
+    import torch
+    import torch.distributed as dist
+
+    store = tempfile.mktemp(prefix="leccr_refx_store_")
+    dist.init_process_group(
+        "gloo", init_method=f"file://{store}", rank=0, world_size=1)
+
+    import image_Retrieval_caption as ref_entry
+    import utils as ref_utils
+
+    dims = rh.DIMS
+    config = rh.ref_config(dims)
+    model = rh.build_reference_model(dims)
+    sd = torch.load(sd_path, map_location="cpu")
+    res = model.load_state_dict(sd, strict=False)
+    # every exported tensor must land in the reference model; missing
+    # keys (reference-side dead modules keeping their init) are expected
+    assert not res.unexpected_keys, res.unexpected_keys
+
+    _, eval_data, rows = rh.make_batches(dims)
+    tokenizer = rh.FakeTokenizer(rows)
+
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def to_image_tensor(u8):
+        x = (u8.astype(np.float32) / 255.0 - mean) / std
+        return torch.tensor(x.transpose(0, 3, 1, 2))
+
+    n_img, eb = dims["eval_images"], dims["eval_batch"]
+
+    class EvalLoader:
+        dataset = SimpleNamespace(text=eval_data["texts"])
+
+        def __iter__(self):
+            for i in range(0, n_img, eb):
+                yield (to_image_tensor(eval_data["vision"][i:i + eb]),
+                       eval_data["captions"][i:i + eb],
+                       torch.arange(i, min(i + eb, n_img)))
+
+    ref_entry.args = SimpleNamespace(distributed=False)
+    ref_utils.SmoothedValue.synchronize_between_processes = lambda self: None
+    model.eval()
+    with torch.no_grad():
+        scores_i2t, scores_t2i = ref_entry.evaluation_coarse(
+            model, EvalLoader(), tokenizer, "cpu", config)
+    itm = ref_entry.itm_eval(scores_i2t, scores_t2i,
+                             eval_data["txt2img"], eval_data["img2txt"])
+
+    os.makedirs(out, exist_ok=True)
+    np.savez(os.path.join(out, "ref_export_eval.npz"),
+             scores_i2t=scores_i2t, scores_t2i=scores_t2i)
+    with open(os.path.join(out, "ref_export_itm.json"), "w") as f:
+        json.dump({k: float(v) for k, v in itm.items()}, f)
+    print(f"missing={len(res.missing_keys)}")
+    print("REF_EXPORT_OK")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--video", action="store_true")
     ap.add_argument("--clip-caption", action="store_true")
+    ap.add_argument("--check-export", default="",
+                    help="path to an exported .pth; run the reference "
+                         "eval on it instead of the trajectory dump")
     args_cli = ap.parse_args()
 
     rh.install_stubs()
+    if args_cli.check_export:
+        export_check_main(args_cli.out, args_cli.check_export)
+        return
     if args_cli.video:
         video_main(args_cli.out)
         return
