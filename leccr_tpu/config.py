@@ -169,6 +169,10 @@ class DataConfig:
     # reference pads to `longest` per step, image_Retrieval_caption.py:47)
     token_buckets: List[int] = field(default_factory=lambda: [32, 64, 128])
     num_workers: int = 4
+    # libjpeg DCT pre-scaled decode (Image.draft): 2-13x faster host decode
+    # (measured scripts/profile_pipeline.py), NOT pixel-identical to the
+    # reference's full-resolution decode+crop — off for strict parity
+    fast_decode: bool = False
     # tokenizer vocab files (offline; no network)
     text_vocab: str = ""  # WordPiece vocab.txt for the text tower
     clip_bpe_vocab: str = ""  # CLIP BPE merge file (optional, caption_encoder=clip)

@@ -113,7 +113,8 @@ class ImageTrainDataset:
         cap_id = self.cap_ids[index]
         image_id = video_id_of(cap_id)
         img, flip = I.load_train_image(
-            self.image_path(image_id), self.image_res, rng)
+            self.image_path(image_id), self.image_res, rng,
+            fast=self.cfg.fast_decode)
         texts = []
         for k, cmap in enumerate(self.caption_maps):
             key = cap_id if k == 0 else cap_id.replace(
@@ -176,7 +177,8 @@ class ImageEvalDataset:
 
     def get(self, index: int):
         image_id = self.index.image_ids[index]
-        img = I.load_eval_image(self.image_path(image_id), self.image_res)
+        img = I.load_eval_image(self.image_path(image_id), self.image_res,
+                                fast=self.cfg.fast_decode)
         return img, self.generated[image_id], index
 
 

@@ -376,3 +376,70 @@ def test_eval_loader_process_sharding(tmp_path):
         for k in b:
             np.testing.assert_array_equal(
                 b[k], np.concatenate([b0[k], b1[k]]))
+
+
+def test_image_load_matches_numpy_oracle(tmp_path):
+    """The pure-PIL decode path (crop -> resize, one numpy copy) must be
+    pixel-identical to the torchvision-semantics oracle: full decode to
+    numpy, numpy crop, PIL bicubic resize — the path the trajectory-parity
+    suites were validated against."""
+    from PIL import Image
+
+    from leccr_tpu.data.images import (load_eval_image, load_train_image,
+                                       sample_resized_crop)
+
+    rs = np.random.RandomState(0)
+    src = rs.randint(0, 255, (300, 400, 3)).astype(np.uint8)
+    path = str(tmp_path / "img.jpg")
+    Image.fromarray(src).save(path)
+
+    def oracle_train(res, rng):
+        with Image.open(path) as im:
+            img = np.asarray(im.convert("RGB"), np.uint8)
+        top, left, h, w = sample_resized_crop(img.shape[0], img.shape[1],
+                                              rng)
+        crop = img[top: top + h, left: left + w]
+        out = np.asarray(Image.fromarray(crop).resize(
+            (res, res), Image.BICUBIC), np.uint8)
+        return out, bool(rng.rand() < 0.5)
+
+    for seed in (1, 2, 3):
+        a, fa = load_train_image(path, 224, np.random.RandomState(seed))
+        b, fb = oracle_train(224, np.random.RandomState(seed))
+        np.testing.assert_array_equal(a, b)
+        assert fa == fb
+
+    with Image.open(path) as im:
+        full = np.asarray(im.convert("RGB"), np.uint8)
+    want = np.asarray(Image.fromarray(full).resize(
+        (224, 224), Image.BICUBIC), np.uint8)
+    np.testing.assert_array_equal(load_eval_image(path, 224), want)
+
+
+def test_image_load_fast_decode(tmp_path):
+    """fast=True (libjpeg DCT pre-scaling): same shapes/flip stream and
+    deterministic, approximately the exact path's pixels on smooth
+    content (it is NOT bit-identical by design)."""
+    from PIL import Image
+
+    from leccr_tpu.data.images import load_eval_image, load_train_image
+
+    yy, xx = np.mgrid[0:600, 0:800]
+    smooth = np.stack([(xx // 4) % 256, (yy // 4) % 256,
+                       ((xx + yy) // 8) % 256], -1).astype(np.uint8)
+    path = str(tmp_path / "img.jpg")
+    Image.fromarray(smooth).save(path, quality=95)
+
+    a, fa = load_train_image(path, 224, np.random.RandomState(5), fast=True)
+    b, fb = load_train_image(path, 224, np.random.RandomState(5), fast=True)
+    exact, fe = load_train_image(path, 224, np.random.RandomState(5))
+    assert a.shape == exact.shape == (224, 224, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)  # deterministic
+    assert fa == fb == fe  # the rng flip stream is mode-independent
+    diff = np.abs(a.astype(int) - exact.astype(int))
+    assert diff.mean() < 16, diff.mean()
+
+    ev = load_eval_image(path, 224, fast=True)
+    ee = load_eval_image(path, 224)
+    assert ev.shape == ee.shape
+    assert np.abs(ev.astype(int) - ee.astype(int)).mean() < 16
