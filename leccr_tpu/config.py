@@ -322,6 +322,16 @@ class TrainConfig:
     # activation HBM at the price of one extra forward (~4/3 step FLOPs).
     # 0/1 = off.
     grad_cache_microbatches: int = 0
+    # EMA of the params (beyond reference; a standard quality lever for
+    # contrastive retrieval).  0 disables.  When enabled: the jitted step
+    # also advances ema = decay*ema + (1-decay)*params (seeded from the
+    # init weights, no bias correction needed), eval + best-ckpt gating
+    # run on the EMA weights when ema_eval is true, checkpoints carry
+    # "ema_params", and serving/export prefer them.  Resuming a non-EMA
+    # checkpoint with EMA enabled re-seeds the EMA from the restored
+    # params; resuming with EMA disabled simply ignores the stored EMA.
+    ema_decay: float = 0.0
+    ema_eval: bool = True
 
 
 @dataclass

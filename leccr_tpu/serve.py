@@ -346,7 +346,11 @@ def load_params_for_inference(cfg: LECCRConfig,
             abstract = {"params": params, "opt_state": None,
                         "meta": {"step": 0, "epoch": 0}}
             try:
-                params, _, _ = mgr.restore(abstract)
+                restored, _, ema, _ = mgr.restore(abstract)
+                # serve/export what eval gated on: the EMA weights when
+                # the run tracked them (config.py ema_decay/ema_eval)
+                params = (ema if ema is not None and cfg.train.ema_eval
+                          else restored)
             except Exception:
                 pass
     return params

@@ -48,6 +48,7 @@ class CheckpointManager:
         metrics: Optional[Dict[str, float]] = None,
         is_best: bool = False,
         steps_per_epoch: int = 0,
+        ema_params: Any = None,
     ) -> None:
         state = {
             "params": params,
@@ -59,6 +60,8 @@ class CheckpointManager:
             "meta": {"step": step, "epoch": epoch,
                      "steps_per_epoch": steps_per_epoch},
         }
+        if ema_params is not None:
+            state["ema_params"] = ema_params
         # orbax saves are collective: every process calls save() with the
         # global arrays; the sidecar json files are written once
         self.manager.save(
@@ -87,45 +90,66 @@ class CheckpointManager:
 
     @staticmethod
     def _restore_state(manager, abstract_state: Any, step: int):
-        """StandardRestore with meta-layout tolerance: checkpoints written
-        before/after the steps_per_epoch meta key restore either way (the
-        orbax tree structures must match exactly, so retry with the key
-        toggled)."""
+        """StandardRestore with layout tolerance: the orbax tree structures
+        must match exactly, so retry over the optional-key variants —
+        checkpoints written before/after the steps_per_epoch meta key, and
+        with/without "ema_params" (whose leaves mirror the params
+        abstract) — so any run config can restore any checkpoint."""
         def attempt(abstract):
             return manager.restore(
                 step, args=ocp.args.Composite(
                     state=ocp.args.StandardRestore(abstract)))["state"]
 
-        try:
-            return attempt(abstract_state)
-        except ValueError:
-            alt = dict(abstract_state)
+        def meta_toggled(a):
+            alt = dict(a)
             meta = dict(alt.get("meta", {}))
             if "steps_per_epoch" in meta:
                 meta.pop("steps_per_epoch")
             else:
                 meta["steps_per_epoch"] = 0
             alt["meta"] = meta
-            return attempt(alt)
+            return alt
+
+        def ema_toggled(a):
+            alt = dict(a)
+            if "ema_params" in alt:
+                alt.pop("ema_params")
+            else:
+                alt["ema_params"] = alt["params"]
+            return alt
+
+        last: Optional[Exception] = None
+        for variant in (abstract_state, meta_toggled(abstract_state),
+                        ema_toggled(abstract_state),
+                        meta_toggled(ema_toggled(abstract_state))):
+            try:
+                return attempt(variant)
+            except ValueError as e:
+                last = e
+        raise last
 
     def restore(
         self, abstract_state: Any, step: Optional[int] = None
-    ) -> Tuple[Any, Any, Dict[str, int]]:
-        """Restore (params, opt_state, meta).  abstract_state is a pytree of
-        jax.ShapeDtypeStruct (or concrete arrays) matching save()'s layout."""
+    ) -> Tuple[Any, Any, Any, Dict[str, int]]:
+        """Restore (params, opt_state, ema_params_or_None, meta).
+        abstract_state is a pytree of jax.ShapeDtypeStruct (or concrete
+        arrays) matching save()'s layout; optional keys are tolerated
+        either way (_restore_state)."""
         step = step if step is not None else self.manager.latest_step()
         assert step is not None, "no checkpoint to restore"
         state = self._restore_state(self.manager, abstract_state, step)
-        return state["params"], state["opt_state"], state["meta"]
+        return (state["params"], state["opt_state"],
+                state.get("ema_params"), state["meta"])
 
     def restore_best(
         self, abstract_state: Any
-    ) -> Tuple[Any, Any, Dict[str, int]]:
+    ) -> Tuple[Any, Any, Any, Dict[str, int]]:
         """Restore the best-metric checkpoint (never evicted by rotation)."""
         step = self.best_manager.latest_step()
         assert step is not None, "no best checkpoint saved"
         state = self._restore_state(self.best_manager, abstract_state, step)
-        return state["params"], state["opt_state"], state["meta"]
+        return (state["params"], state["opt_state"],
+                state.get("ema_params"), state["meta"])
 
     def best_info(self) -> Optional[Dict]:
         if self.best_path.exists():

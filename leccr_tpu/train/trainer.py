@@ -177,6 +177,8 @@ class TrainState:
     params: Any
     opt_state: Any
     step: int
+    # EMA of params (train.ema_decay > 0); None when disabled
+    ema_params: Any = None
 
 
 class Trainer:
@@ -323,7 +325,12 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(params))
         if self.is_main:
             print(f"### Total Params: {n_params}")
-        return TrainState(params=params, opt_state=opt_state, step=0)
+        ema = None
+        if self.cfg.train.ema_decay > 0:
+            # a distinct buffer copy: params are donated to the train step
+            ema = jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params)
+        return TrainState(params=params, opt_state=opt_state, step=0,
+                          ema_params=ema)
 
     # ------------------------------------------------------- train step
 
@@ -354,8 +361,9 @@ class Trainer:
         rng_impl = self.cfg.train.rng_impl
 
         gc_m = self.cfg.train.grad_cache_microbatches
+        ema_d = self.cfg.train.ema_decay
 
-        def step_fn(params, opt_state, batch, step_no):
+        def step_fn(params, opt_state, ema, batch, step_no):
             # key derived in-graph from the step counter: no per-step host
             # device_put of a PRNG key, and the step scalar is a plain
             # numpy input every process agrees on (multi-host safe).
@@ -434,9 +442,16 @@ class Trainer:
                     has_aux=True)(params)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt, losses
+            new_ema = ema
+            if ema_d > 0:
+                # same jit program as the update: the EMA advance costs one
+                # fused HBM pass, no extra dispatch
+                new_ema = jax.tree.map(
+                    lambda e, p: e * ema_d + p.astype(e.dtype) * (1 - ema_d),
+                    ema, new_params)
+            return new_params, new_opt, new_ema, losses
 
-        return jax.jit(step_fn, donate_argnums=(0, 1))
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
     # ----------------------------------------------------------- epochs
 
@@ -472,10 +487,11 @@ class Trainer:
         for i, batch in enumerate(logger.log_every(
                 batches, log_every, header,
                 total=self.steps_per_epoch - skip_steps)):
-            params, opt_state, losses = self._train_step(
-                self.state.params, self.state.opt_state, batch,
-                np.int32(self.state.step))
-            self.state = TrainState(params, opt_state, self.state.step + 1)
+            params, opt_state, ema, losses = self._train_step(
+                self.state.params, self.state.opt_state,
+                self.state.ema_params, batch, np.int32(self.state.step))
+            self.state = TrainState(params, opt_state, self.state.step + 1,
+                                    ema_params=ema)
             pending.append((self.state.step, losses))
             if i % log_every == 0:
                 # drain in the same phase as the logger's post-yield print
@@ -493,13 +509,25 @@ class Trainer:
                 # host coordinates the writes).
                 self.ckpt.save(self.state.step, self.state.params,
                                self.state.opt_state, epoch=epoch,
-                               steps_per_epoch=self.steps_per_epoch)
+                               steps_per_epoch=self.steps_per_epoch,
+                               ema_params=self.state.ema_params)
         drain()
         if self.is_main:
             print("Averaged stats:", logger)
         return {k: f"{m.global_avg:.5f}" for k, m in logger.meters.items()}
 
     # ------------------------------------------------------------- eval
+
+    @property
+    def eval_params(self):
+        """Params evaluate() runs on: the EMA weights when EMA is enabled
+        (train.ema_decay > 0 and ema_eval), else the raw params — so the
+        per-epoch metrics, best-ckpt gating, and the served/exported model
+        all agree on which weights are 'the model'."""
+        if (self.state.ema_params is not None
+                and self.cfg.train.ema_eval):
+            return self.state.ema_params
+        return self.state.params
 
     def evaluate(self, dataset) -> Dict[str, float]:
         """Full retrieval eval for one split: embed texts + images (with the
@@ -537,7 +565,7 @@ class Trainer:
         n_txt_total = sum(t[2] for t in tb)
         stacked_sharding = NamedSharding(self.mesh, P(None, "data"))
         out = self._embed_texts_stacked(
-            self.state.params,
+            self.eval_params,
             host_local_to_global(ids, stacked_sharding),
             host_local_to_global(mask, stacked_sharding))
         text_embeds = out.reshape(-1, out.shape[-1])[:n_txt_total]
@@ -584,7 +612,7 @@ class Trainer:
                 collected.append((batch, count))
             if not self.is_video:
                 batch = {**batch, "vision": normalize_images(batch["vision"])}
-            out = self._embed_images(self.state.params, batch)
+            out = self._embed_images(self.eval_params, batch)
             img_feats.append(out["feat"][:count])
             img_slots.append(out["slots"][:count])
         if collected is not None:
@@ -637,11 +665,15 @@ class Trainer:
                 sh = replicated
             return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
 
-        return {
+        abstract = {
             "params": jax.tree.map(leaf_abstract, self.state.params),
             "opt_state": jax.tree.map(leaf_abstract, self.state.opt_state),
             "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0},
         }
+        if self.state.ema_params is not None:
+            abstract["ema_params"] = jax.tree.map(
+                leaf_abstract, self.state.ema_params)
+        return abstract
 
     def fit(self, evaluate_only: bool = False) -> Dict[str, float]:
         cfg = self.cfg
@@ -650,7 +682,15 @@ class Trainer:
         best, best_epoch = 0.0, 0
         if cfg.train.resume and self.ckpt.latest_step() is not None:
             abstract = self._restore_abstract()
-            params, opt_state, meta = self.ckpt.restore(abstract)
+            params, opt_state, ema, meta = self.ckpt.restore(abstract)
+            if cfg.train.ema_decay > 0:
+                if ema is None:
+                    # pre-EMA checkpoint: seed the average from the
+                    # restored params (config.py ema_decay)
+                    ema = jax.jit(lambda p: jax.tree.map(jnp.copy, p))(
+                        params)
+            else:
+                ema = None  # stored EMA ignored when disabled
             step = int(meta["step"])
             # EXACT resume: epoch and in-epoch batch position both derive
             # from the step counter (steps count monotonically; the
@@ -658,7 +698,8 @@ class Trainer:
             # internal schedule count, the epoch loop, and the data stream
             # stay consistent — mid-epoch snapshots resume where they left
             # off instead of replaying the epoch
-            self.state = TrainState(params, opt_state, step)
+            self.state = TrainState(params, opt_state, step,
+                                    ema_params=ema)
             start_epoch, resume_skip = divmod(step, self.steps_per_epoch)
             meta_epoch = int(meta["epoch"])
             meta_spe = int(meta.get("steps_per_epoch", 0))
@@ -676,7 +717,8 @@ class Trainer:
                           "boundary instead of the exact batch")
                 start_epoch, resume_skip = meta_epoch + 1, 0
                 self.state = TrainState(
-                    params, opt_state, start_epoch * self.steps_per_epoch)
+                    params, opt_state, start_epoch * self.steps_per_epoch,
+                    ema_params=ema)
             info = self.ckpt.best_info()
             if info:
                 best = info.get("metrics", {}).get("sumr_sum", 0.0)
@@ -725,7 +767,8 @@ class Trainer:
                     self.state.opt_state, epoch,
                     config_json=cfg.to_json(),
                     metrics={"sumr_sum": sumr_sum}, is_best=is_best,
-                    steps_per_epoch=self.steps_per_epoch)
+                    steps_per_epoch=self.steps_per_epoch,
+                    ema_params=self.state.ema_params)
             if is_best:
                 best, best_epoch = sumr_sum, epoch
             if self.is_main:

@@ -93,7 +93,7 @@ def test_train_two_epochs_loss_decreases_and_ckpt(trainer):
     abstract = {"params": trainer.state.params,
                 "opt_state": trainer.state.opt_state,
                 "meta": {"step": 0, "epoch": 0}}
-    params, _, meta = trainer.ckpt.restore(abstract)
+    params, _, _ema, meta = trainer.ckpt.restore(abstract)
     assert int(meta["step"]) == trainer.state.step
     lhs = jax.tree.leaves(params)
     rhs = jax.tree.leaves(trainer.state.params)
@@ -470,7 +470,8 @@ def test_resume_mid_epoch_exact(tmp_path):
     it = device_prefetch(tr1.train_loader.epoch(1), sharding, depth=1)
     for _ in range(2):
         batch = next(it)
-        p, o, _ls = tr1._train_step(tr1.state.params, tr1.state.opt_state,
+        p, o, _ema, _ls = tr1._train_step(tr1.state.params,
+                                          tr1.state.opt_state, None,
                                     batch, _np.int32(tr1.state.step))
         tr1.state = type(tr1.state)(p, o, tr1.state.step + 1)
     del it
@@ -527,7 +528,7 @@ def test_resume_on_different_mesh_size(tmp_path):
     tr2 = Trainer(cfg2, devices=jax.devices()[:2])
     abstract = {"params": tr2.state.params, "opt_state": tr2.state.opt_state,
                 "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0}}
-    params, _opt, meta = tr2.ckpt.restore(abstract)
+    params, _opt, _ema, meta = tr2.ckpt.restore(abstract)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
                  jax.device_get(params), saved)
     assert int(meta["step"]) == spe
@@ -544,7 +545,7 @@ def test_resume_on_different_mesh_size(tmp_path):
     # directly: a fresh resume-only trainer restores tr2's final params
     abstract = {"params": tr3.state.params, "opt_state": tr3.state.opt_state,
                 "meta": {"step": 0, "epoch": 0, "steps_per_epoch": 0}}
-    params, _opt, meta = tr3.ckpt.restore(abstract)
+    params, _opt, _ema, meta = tr3.ckpt.restore(abstract)
     got = jax.device_get(params)
     want = jax.device_get(tr2.state.params)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), got, want)
@@ -591,9 +592,83 @@ def test_best_checkpoint_survives_rotation(tmp_path):
     assert ckpt.latest_step() == 4
     abstract = {"params": best_params, "opt_state": opt,
                 "meta": {"step": 0, "epoch": 0}}
-    params, _, meta = ckpt.restore_best(abstract)
+    params, _, _ema, meta = ckpt.restore_best(abstract)
     np.testing.assert_array_equal(np.asarray(params["w"]),
                                   np.full((3,), 7.0))
     assert meta["step"] == 1
     info = ckpt.best_info()
     assert info["step"] == 1 and info["metrics"]["sumr_sum"] == 9.0
+
+
+def test_ema_tracks_and_checkpoints(tmp_path):
+    """train.ema_decay: the step advances an exact EMA of the params
+    (verified against the recurrence), eval runs on the EMA weights,
+    checkpoints round-trip it, and toggling the flag across resume is
+    tolerated (seed-from-params on, ignore on off)."""
+    import numpy as _np
+
+    from leccr_tpu.train.trainer import Trainer
+
+    def make_cfg(out, decay, epochs=1, resume=False):
+        cfg = tiny_test_config()
+        cfg.output_dir = str(out)
+        cfg.data.dataset = "synthetic"
+        cfg.data.synthetic_size = 16
+        cfg.data.synthetic_eval_images = 4
+        cfg.train.batch_size_train = 8
+        cfg.train.batch_size_test = 4
+        cfg.train.batch_size_test_text = 8
+        cfg.train.schedular.epochs = epochs
+        cfg.train.ema_decay = decay
+        cfg.train.resume = resume
+        cfg.parallel.data = 1
+        return cfg
+
+    d = 0.5
+    tr = Trainer(make_cfg(tmp_path, d), devices=jax.devices()[:1])
+    assert tr.state.ema_params is not None
+    # manual recurrence oracle over 2 steps
+    want = jax.tree.map(_np.asarray, tr.state.params)
+    params, opt_state, ema = (tr.state.params, tr.state.opt_state,
+                              tr.state.ema_params)
+    for k, batch in enumerate(tr.train_loader.epoch(0)):
+        if k == 2:
+            break
+        params, opt_state, ema, _ = tr._train_step(
+            params, opt_state, ema, batch, _np.int32(k))
+        want = jax.tree.map(
+            lambda e, p: e * d + _np.asarray(p) * (1 - d), want, params)
+    jax.tree.map(lambda a, b: _np.testing.assert_allclose(
+        _np.asarray(a), b, rtol=2e-6, atol=1e-7), ema, want)
+
+    # eval_params returns the EMA tree when enabled
+    tr.state = type(tr.state)(params, opt_state, 2, ema_params=ema)
+    assert tr.eval_params is ema
+    tr.cfg.train.ema_eval = False
+    assert tr.eval_params is params
+    tr.cfg.train.ema_eval = True
+
+    # full fit: checkpoint carries the EMA; resume restores it exactly
+    tr2 = Trainer(make_cfg(tmp_path / "run2", d), devices=jax.devices()[:1])
+    tr2.fit()
+    saved_ema = jax.tree.map(_np.asarray, tr2.state.ema_params)
+    tr3 = Trainer(make_cfg(tmp_path / "run2", d, epochs=2, resume=True),
+                  devices=jax.devices()[:1])
+    abstract = tr3._restore_abstract()
+    _, _, ema3, _ = tr3.ckpt.restore(abstract)
+    jax.tree.map(lambda a, b: _np.testing.assert_array_equal(
+        _np.asarray(a), b), ema3, saved_ema)
+
+    # toggle OFF across resume: restore works, EMA ignored
+    tr4 = Trainer(make_cfg(tmp_path / "run2", 0.0, epochs=2, resume=True),
+                  devices=jax.devices()[:1])
+    tr4.fit()
+    assert tr4.state.ema_params is None
+
+    # toggle ON over a non-EMA checkpoint: EMA seeded from restored params
+    tr5 = Trainer(make_cfg(tmp_path / "run5", 0.0), devices=jax.devices()[:1])
+    tr5.fit()
+    tr6 = Trainer(make_cfg(tmp_path / "run5", d, epochs=2, resume=True),
+                  devices=jax.devices()[:1])
+    tr6.fit()
+    assert tr6.state.ema_params is not None

@@ -128,8 +128,8 @@ def my_results(ref_results, tmp_path_factory):
             "caption_mask": _stack(rows, b["caption"], 1),
             "idx": b["idx"],
         }
-        params, opt_state, ls = trainer._train_step(
-            params, opt_state, batch, np.int32(k))
+        params, opt_state, _ema, ls = trainer._train_step(
+            params, opt_state, None, batch, np.int32(k))
         losses.append([float(ls[key]) for key in LOSS_KEYS])
 
     return trainer, params, np.array(losses), eval_data, rows
