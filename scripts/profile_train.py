@@ -28,6 +28,9 @@ RES, VOCAB = 384, 119547
 # (trainer._grad_cache_grads) — decouples the negative pool from
 # activation HBM, enabling per-chip batches far past the dense bs128
 GC = int(sys.argv[sys.argv.index("--gc") + 1]) if "--gc" in sys.argv else 0
+# --ema: advance a params EMA in the step (train.ema_decay), measuring its
+# marginal HBM-pass cost at flagship scale
+EMA = "--ema" in sys.argv
 
 
 def main():
@@ -67,7 +70,9 @@ def main():
 
     mc = cfg.model
 
-    def step(params, opt_state, batch, rng):
+    ema0 = jax.tree.map(jnp.copy, params) if EMA else None
+
+    def step(params, opt_state, ema, batch, rng):
         idx = batch.pop("idx")
         flip = batch.pop("flip")
 
@@ -98,13 +103,17 @@ def main():
         import optax
 
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, losses
+        new_params = optax.apply_updates(params, updates)
+        if EMA:
+            ema = jax.tree.map(lambda e, q: e * 0.999 + q * 0.001, ema,
+                               new_params)
+        return new_params, opt_state, ema, losses
 
-    jstep = jax.jit(step, donate_argnums=(0, 1))
+    jstep = jax.jit(step, donate_argnums=(0, 1, 2))
     rng = jax.random.key(0, impl=cfg.train.rng_impl)
     # XLA's own FLOP count for the step -> measured MFU below
     try:
-        cost = jstep.lower(params, opt_state, dict(batch),
+        cost = jstep.lower(params, opt_state, ema0, dict(batch),
                            rng).compile().cost_analysis()
         step_flops = float(cost.get("flops", 0.0))
     except Exception:
@@ -157,7 +166,8 @@ def main():
                   f"MFU below UNDERCOUNTS by ~{GC}x (scan bodies "
                   f"counted once)")
     t0 = time.time()
-    params, opt_state, losses = jstep(params, opt_state, dict(batch), rng)
+    params, opt_state, ema0, losses = jstep(params, opt_state, ema0,
+                                            dict(batch), rng)
     # value fetch = real barrier (block_until_ready is lazy over the
     # axon tunnel)
     _ = float(losses["total"])
@@ -165,8 +175,8 @@ def main():
     n = 10
     t0 = time.time()
     for i in range(n):
-        params, opt_state, losses = jstep(params, opt_state, dict(batch),
-                                          jax.random.fold_in(rng, i))
+        params, opt_state, ema0, losses = jstep(
+            params, opt_state, ema0, dict(batch), jax.random.fold_in(rng, i))
     _ = float(losses["total"])
     dt = (time.time() - t0) / n
     print(f"step (incl. host->device transfer): {dt*1000:.1f} ms  -> "
@@ -175,12 +185,14 @@ def main():
     # compute-only: batch resident on device (the trainer overlaps transfer
     # with compute via async dispatch + prefetch)
     dev_batch = jax.device_put(dict(batch))
-    params, opt_state, losses = jstep(params, opt_state, dict(dev_batch), rng)
+    params, opt_state, ema0, losses = jstep(params, opt_state, ema0,
+                                            dict(dev_batch), rng)
     _ = float(losses["total"])
     t0 = time.time()
     for i in range(n):
-        params, opt_state, losses = jstep(params, opt_state, dict(dev_batch),
-                                          jax.random.fold_in(rng, i))
+        params, opt_state, ema0, losses = jstep(
+            params, opt_state, ema0, dict(dev_batch),
+            jax.random.fold_in(rng, i))
     _ = float(losses["total"])
     dt = (time.time() - t0) / n
     print(f"step (device-resident batch): {dt*1000:.1f} ms  -> "
