@@ -184,6 +184,63 @@ def video_main(out: str) -> None:
     print("REF_DRIVER_OK")
 
 
+def video_export_check_main(out: str, sd_path: str) -> None:
+    """--check-export --video: the video-model counterpart of
+    export_check_main — load an leccr_tpu-exported state_dict into the
+    ACTUAL reference video model and run its double-sim
+    evaluation_coarse + itm_eval (video_Retrieval_caption_double_sim.py
+    :94-190, :194-247) on the shared deterministic eval data."""
+    import numpy as np
+    import torch
+    import torch.distributed as dist
+
+    store = tempfile.mktemp(prefix="leccr_refxv_store_")
+    dist.init_process_group(
+        "gloo", init_method=f"file://{store}", rank=0, world_size=1)
+
+    dims = rh.VIDEO_DIMS
+    config = rh.ref_video_config(dims)
+    model = rh.build_reference_video_model(dims)  # patches models.* first
+
+    import utils as ref_utils
+    import video_Retrieval_caption_double_sim as ref_entry
+
+    sd = torch.load(sd_path, map_location="cpu")
+    res = model.load_state_dict(sd, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+
+    _, eval_data, rows = rh.make_video_batches(dims)
+    tokenizer = rh.FakeTokenizer(rows)
+    n_img, eb = dims["eval_images"], dims["eval_batch"]
+
+    class EvalLoader:
+        dataset = SimpleNamespace(text=eval_data["texts"])
+
+        def __iter__(self):
+            for i in range(0, n_img, eb):
+                yield (torch.tensor(eval_data["vision"][i:i + eb]),
+                       torch.tensor(eval_data["vision_mask"][i:i + eb]),
+                       eval_data["captions"][i:i + eb],
+                       torch.arange(i, min(i + eb, n_img)))
+
+    ref_entry.args = SimpleNamespace(distributed=False)
+    ref_utils.SmoothedValue.synchronize_between_processes = lambda self: None
+    model.eval()
+    with torch.no_grad():
+        scores_i2t, scores_t2i = ref_entry.evaluation_coarse(
+            model, EvalLoader(), tokenizer, "cpu", config, alpha=0.9)
+    itm = ref_entry.itm_eval(scores_i2t, scores_t2i,
+                             eval_data["txt2img"], eval_data["img2txt"])
+
+    os.makedirs(out, exist_ok=True)
+    np.savez(os.path.join(out, "ref_export_eval.npz"),
+             scores_i2t=scores_i2t, scores_t2i=scores_t2i)
+    with open(os.path.join(out, "ref_export_itm.json"), "w") as f:
+        json.dump({k: float(v) for k, v in itm.items()}, f)
+    print(f"missing={len(res.missing_keys)}")
+    print("REF_EXPORT_OK")
+
+
 def export_check_main(out: str, sd_path: str) -> None:
     """--check-export: load an leccr_tpu-EXPORTED state_dict into the
     ACTUAL reference model (its strict=False `--checkpoint` path,
@@ -263,7 +320,10 @@ def main() -> None:
 
     rh.install_stubs()
     if args_cli.check_export:
-        export_check_main(args_cli.out, args_cli.check_export)
+        if args_cli.video:
+            video_export_check_main(args_cli.out, args_cli.check_export)
+        else:
+            export_check_main(args_cli.out, args_cli.check_export)
         return
     if args_cli.video:
         video_main(args_cli.out)
