@@ -1,0 +1,392 @@
+"""Approximate-NN serving: an IVF (inverted-file) index over retrieval
+embeddings, built and searched on the TPU.
+
+The reference scores every query against the FULL corpus (the eval ranker
+materializes the whole N×M similarity matrix,
+`image_Retrieval_caption.py:151-163`; it has no serving path at all).  Our
+exact `serve.py` index keeps that semantics at 100k-1M rows by brute
+matmul; past that, per-query cost grows linearly with the corpus.  This
+module trades a little recall for a corpus-size-independent probe cost —
+the standard IVF recipe (Johnson et al., "Billion-scale similarity search
+with GPUs", re-designed TPU-first):
+
+- **Spherical k-means on the MXU**: Lloyd iterations where the assignment
+  step is one [N, E] × [E, C] matmul and the update step is one
+  segment-sum — both ideal TPU shapes.  Centroids are re-L2-normalized
+  every iteration (rows are L2-normalized, so cosine == dot).
+- **Capacity-bounded packing, static shapes**: every cluster is padded to
+  one fixed capacity (`capacity_factor` × the mean occupancy, ≥8-aligned),
+  rows greedily placed into the fullest-preference cluster with space
+  (strong-margin rows first).  The packed bank is a dense [C, cap, E]
+  array + validity mask — no ragged lists, no dynamic shapes, so the
+  whole search compiles to one XLA program.
+- **Scan-over-probes search**: a query scores the C centroids (one small
+  matmul), takes its top-`nprobe` clusters, and a `lax.scan` step gathers
+  ONE [B, cap, E] cluster slab per probe and dots it against the query
+  batch.  Peak memory is one slab, not nprobe of them; the full [B, N]
+  score matrix never exists.
+- **int8 option** (`quantize_ivf`): the packed bank stores symmetric
+  per-row int8 (4× less HBM read per probe — probe cost is
+  gather-bandwidth-bound) with the same dequant-in-epilogue contract as
+  `serve.quantize_index`.
+
+Probing all clusters (`nprobe == n_clusters`) is EXACT brute-force search
+(every row is packed exactly once) — test-pinned against the dense
+ranker, which anchors the recall/approximation dial to a ground truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import tempfile
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leccr_tpu.serve import Embedder, ImageIndex, _quantize_rows
+
+
+@dataclasses.dataclass
+class IVFIndex:
+    centroids: jax.Array      # [C, E] f32, L2-normalized
+    packed: jax.Array         # [C, cap, E] f32 (or int8 after quantize_ivf)
+    valid: jax.Array          # [C, cap] bool — pad slots are False
+    rows: jax.Array           # [C, cap] int32 global row id (0 where pad)
+    ids: List[str]            # global row id -> item id
+    scale: Optional[jax.Array] = None  # [C, cap] f32 int8 dequant scales
+
+    @property
+    def n_clusters(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def capacity(self) -> int:
+        return int(self.packed.shape[1])
+
+    @property
+    def n_valid(self) -> int:
+        return len(self.ids)
+
+    @property
+    def quantized(self) -> bool:
+        return self.scale is not None
+
+
+def _kmeans(feats: jax.Array, n_clusters: int, iters: int,
+            seed: int) -> jax.Array:
+    """Spherical k-means (Lloyd) on device.  Init = a random row sample;
+    a cluster that goes empty is reseeded to the row FARTHEST from its
+    assigned centroid (the classic split-the-worst heuristic), checked
+    host-side once per iteration — the per-iter host sync is two small
+    arrays, noise next to the assignment matmul at any real N."""
+    n, _ = feats.shape
+    rs = np.random.RandomState(seed)
+    cent = feats[jnp.asarray(rs.choice(n, n_clusters, replace=False))]
+
+    @jax.jit
+    def step(cent):
+        sim = feats @ cent.T                                  # [N, C]
+        assign = jnp.argmax(sim, axis=1)
+        best = jnp.max(sim, axis=1)
+        sums = jax.ops.segment_sum(feats, assign,
+                                   num_segments=n_clusters)
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign,
+                                     num_segments=n_clusters)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+        new = new / jnp.maximum(norm, 1e-12)
+        new = jnp.where(counts[:, None] > 0, new, cent)
+        # farthest-from-centroid rows, for empty-cluster reseeding
+        worst = jnp.argsort(best)[:n_clusters]
+        return new, counts, worst
+
+    for _ in range(max(1, iters)):
+        cent, counts, worst = step(cent)
+        empty = np.nonzero(np.asarray(counts) == 0)[0]
+        if empty.size:
+            cent = cent.at[jnp.asarray(empty)].set(
+                feats[worst[: empty.size]])
+    return cent
+
+
+def _pack(feats: jax.Array, cent: jax.Array, capacity_factor: float,
+          candidates: int) -> Tuple[np.ndarray, int]:
+    """Capacity-bounded assignment.  Returns (rows [C, cap] int64 with -1
+    pads, cap).  Vectorized round-based greedy: round j places every
+    still-unplaced row into its rank-j cluster while space lasts (within
+    a round, contested slots go to the rows with the strongest top1-top2
+    margin) — every row gets a shot at its TRUE nearest cluster before
+    any row falls back to its second choice.  A row whose top-
+    `candidates` clusters all filled spills to the emptiest clusters;
+    total capacity ≥ N by construction, so placement never fails.  Pure
+    numpy sorts — O(P · N log N) host time, no Python-per-row loop."""
+    n = feats.shape[0]
+    c = cent.shape[0]
+    cap = int(np.ceil(n / c * capacity_factor))
+    cap = max(8, -(-cap // 8) * 8)  # sublane-aligned [*, cap, E] layout
+    p = min(candidates, c)
+    sims, cids = jax.jit(lambda f, ct: jax.lax.top_k(f @ ct.T, p))(
+        feats, cent)
+    sims, cids = np.asarray(sims), np.asarray(cids)
+    margin = sims[:, 0] - (sims[:, 1] if p > 1 else 0.0)
+    rows = -np.ones((c, cap), np.int64)
+    fill = np.zeros(c, np.int64)
+    todo = np.argsort(-margin)  # row ids, strongest preference first
+    for j in range(p):
+        if not todo.size:
+            break
+        cand = cids[todo, j]
+        order = np.argsort(cand, kind="stable")  # grouped, margin-ordered
+        sc = cand[order]
+        rank = np.arange(sc.size) - np.searchsorted(sc, np.arange(c))[sc]
+        acc = rank < (cap - fill)[sc]
+        pos = fill[sc[acc]] + rank[acc]
+        rows[sc[acc], pos] = todo[order[acc]]
+        fill += np.bincount(sc[acc], minlength=c)
+        keep = np.ones(todo.size, bool)
+        keep[order[acc]] = False
+        todo = todo[keep]
+    if todo.size:  # spill to the emptiest clusters' free slots
+        cl_order = np.argsort(fill)
+        free = cap - fill
+        slot_c = np.repeat(cl_order, free[cl_order])
+        slot_p = np.concatenate(
+            [np.arange(fill[cc], cap) for cc in cl_order if free[cc]]
+            or [np.empty(0, np.int64)])
+        m = todo.size
+        rows[slot_c[:m], slot_p[:m]] = todo
+    return rows, cap
+
+
+def build_ivf_index(index: ImageIndex, n_clusters: Optional[int] = None,
+                    iters: int = 15, capacity_factor: float = 1.3,
+                    candidates: int = 8, seed: int = 0) -> IVFIndex:
+    """Cluster an exact index into an IVF index.  Defaults: C ≈ 4·√N
+    (probe cost balances centroid-scan cost at nprobe ≈ √N/4·cap reads),
+    15 Lloyd iterations.  Build from the fp32 index; `quantize_ivf`
+    afterward for the int8 bank.  Unsharded single-device layout (an IVF
+    probe reads nprobe·cap rows — a corpus whose IVF bank exceeds one
+    chip's HBM should shard the EXACT index instead, serve.shard_index)."""
+    if index.mesh is not None:
+        raise ValueError("build_ivf_index from the unsharded index")
+    if index.quantized:
+        raise ValueError("build_ivf_index from the fp32 index "
+                         "(quantize_ivf afterward)")
+    n = index.n_valid
+    if n_clusters is None:
+        n_clusters = max(1, min(n, int(4 * np.sqrt(n))))
+    if not 1 <= n_clusters <= n:
+        raise ValueError(f"n_clusters={n_clusters} not in [1, {n}]")
+    feats = index.feats[:n].astype(jnp.float32)
+    import time as _time
+
+    t0 = _time.time()
+    cent = _kmeans(feats, n_clusters, iters, seed)
+    jax.block_until_ready(cent)
+    t1 = _time.time()
+    rows, cap = _pack(feats, cent, capacity_factor, candidates)
+    t2 = _time.time()
+    if t2 - t0 > 30:  # surface the build breakdown at production scale
+        print(f"[serve_ann] kmeans {t1 - t0:.1f}s "
+              f"pack {t2 - t1:.1f}s (N={n}, C={n_clusters})", flush=True)
+    rj = jnp.asarray(np.maximum(rows, 0), jnp.int32)
+    packed = jax.jit(lambda f, r: jnp.take(f, r, axis=0))(feats, rj)
+    return IVFIndex(centroids=cent, packed=packed,
+                    valid=jnp.asarray(rows >= 0), rows=rj,
+                    ids=list(index.ids))
+
+
+def quantize_ivf(ivf: IVFIndex) -> IVFIndex:
+    """Symmetric per-row int8 over the packed bank (same scheme/accuracy
+    contract as serve.quantize_index: rows are L2-normalized, ordering
+    preserved to ~1e-3).  Probe reads drop 4×; the per-probe dot runs
+    int8×int8 on the MXU."""
+    if ivf.quantized:
+        return ivf
+    c, cap, e = ivf.packed.shape
+
+    @jax.jit
+    def q(x):
+        qx, s = _quantize_rows(x.reshape(c * cap, e))
+        return qx.reshape(c, cap, e), s.reshape(c, cap)
+
+    packed, scale = q(ivf.packed)
+    return IVFIndex(centroids=ivf.centroids, packed=packed,
+                    valid=ivf.valid, rows=ivf.rows, ids=list(ivf.ids),
+                    scale=scale)
+
+
+def _ivf_topk(q: jax.Array, ivf_arrays, k: int, nprobe: int):
+    """[B, E] queries → (scores [B, k], global row ids [B, k]).  One
+    centroid matmul, then a scan over the nprobe probe positions: each
+    step gathers ONE [B, cap, E] cluster slab and dots it against the
+    query batch — peak live memory is a single slab regardless of nprobe.
+    Traced under jit with k/nprobe static."""
+    cent, packed, valid, rows, scale = ivf_arrays
+    cap = packed.shape[1]
+    csim = q @ cent.T                                         # [B, C]
+    _, cids = jax.lax.top_k(csim, nprobe)                     # [B, nprobe]
+    if scale is not None:
+        qq, qs = _quantize_rows(q)
+
+    def step(_, cid_col):                                     # cid_col [B]
+        f = jnp.take(packed, cid_col, axis=0)                 # [B, cap, E]
+        r = jnp.take(rows, cid_col, axis=0)                   # [B, cap]
+        v = jnp.take(valid, cid_col, axis=0)
+        if scale is None:
+            s = jnp.einsum("bce,be->bc", f, q)
+        else:
+            s = jnp.einsum("bce,be->bc", f, qq,
+                           preferred_element_type=jnp.int32)
+            s = (s.astype(jnp.float32) * qs[:, None]
+                 * jnp.take(scale, cid_col, axis=0))
+        # a probed cluster can still hold pad slots (capacity padding)
+        s = jnp.where(v, s, -jnp.inf)
+        return None, (s, r)
+
+    _, (s_all, r_all) = jax.lax.scan(step, None, cids.T)
+    # [nprobe, B, cap] -> [B, nprobe*cap]
+    s_all = jnp.transpose(s_all, (1, 0, 2)).reshape(q.shape[0], -1)
+    r_all = jnp.transpose(r_all, (1, 0, 2)).reshape(q.shape[0], -1)
+    vals, pos = jax.lax.top_k(s_all, k)
+    return vals, jnp.take_along_axis(r_all, pos, axis=1)
+
+
+def _search_prog(emb: Embedder, k: int, nprobe: int, quant: bool):
+    """One compiled tokenized-queries → embed → IVF top-k program per
+    (k, nprobe, layout) — the same single-dispatch contract as the exact
+    path (each extra dispatch is a transport round trip)."""
+    cache: Dict[tuple, object] = getattr(emb, "_ivf_progs", None)
+    if cache is None:
+        cache = emb._ivf_progs = {}
+    key = (k, nprobe, quant)
+    prog = cache.get(key)
+    if prog is None:
+        def run(params, tids, mask, cent, packed, valid, rows, scale):
+            q = emb.model.apply({"params": params}, tids, mask,
+                                method="embed_texts")
+            return _ivf_topk(q, (cent, packed, valid, rows, scale),
+                             k, nprobe)
+
+        prog = jax.jit(run)
+        cache[key] = prog
+    return prog
+
+
+def search_texts_ivf(emb: Embedder, queries: Sequence[str], ivf: IVFIndex,
+                     k: int = 10, nprobe: Optional[int] = None,
+                     ) -> List[List[Tuple[str, float]]]:
+    """text → item retrieval over an IVF index: top-k (id, score) per
+    query, scoring only the nprobe most-promising clusters.  nprobe dials
+    recall vs cost (default min(8, C)); nprobe == ivf.n_clusters is
+    exact."""
+    if nprobe is None:
+        nprobe = min(8, ivf.n_clusters)
+    if not 1 <= nprobe <= ivf.n_clusters:
+        raise ValueError(f"nprobe={nprobe} not in [1, {ivf.n_clusters}]")
+    k = min(k, ivf.n_valid)
+    if not queries:
+        return []
+    prog = _search_prog(emb, k, nprobe, ivf.quantized)
+    bs = emb.batch_size
+    out: List[List[Tuple[str, float]]] = []
+    for i in range(0, len(queries), bs):
+        chunk = list(queries[i: i + bs])
+        n = len(chunk)
+        chunk += [""] * (bs - n)
+        tids, mask = emb.tokenizer.encode(chunk, emb.cfg.data.max_tokens)
+        scores, gids = prog(emb.params, tids, mask, ivf.centroids,
+                            ivf.packed, ivf.valid, ivf.rows, ivf.scale)
+        scores, gids = np.asarray(scores)[:n], np.asarray(gids)[:n]
+        out.extend([(ivf.ids[j], float(s)) for j, s in zip(ri, rs)]
+                   for ri, rs in zip(gids, scores))
+    return out
+
+
+_IVF_ARRAYS = ("centroids", "packed", "valid", "rows", "scale")
+
+
+def save_ivf(ivf: IVFIndex, path: str) -> None:
+    """Persist an IVF index (directory; hdfs:// transparent) — cluster
+    once, serve many restarts.  Same stale-optional-file manifest
+    contract as serve.save_index."""
+    from leccr_tpu.utils import io
+
+    local, remote, staging = path, None, None
+    if path.startswith("hdfs://"):
+        remote = path
+        local = staging = tempfile.mkdtemp(prefix="leccr_ivf_")
+    try:
+        os.makedirs(local, exist_ok=True)
+        written = []
+        for name in _IVF_ARRAYS:
+            arr = getattr(ivf, name)
+            p = os.path.join(local, name + ".npy")
+            if arr is not None:
+                np.save(p, np.asarray(arr))
+                written.append(name)
+            elif os.path.exists(p):
+                os.remove(p)
+        with open(os.path.join(local, "ids.json"), "w") as f:
+            json.dump(ivf.ids, f)
+        with open(os.path.join(local, "manifest.json"), "w") as f:
+            json.dump({"optional": written, "n": ivf.n_valid,
+                       "kind": "ivf"}, f)
+        if remote is not None:
+            io.makedirs(remote)
+            io.sync_dir_to_remote(local, remote)
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+def is_ivf_save(path: str) -> bool:
+    """True if `path` holds an IVF save (save_ivf) rather than an exact
+    one (serve.save_index) — lets consumers (run.py --task serve) load a
+    directory without knowing how it was built.  hdfs:// transparent."""
+    from leccr_tpu.utils import io
+
+    mpath = os.path.join(path, "manifest.json")
+    if not io.exists(mpath):
+        return False
+    with io.open_file(mpath) as f:
+        return json.load(f).get("kind") == "ivf"
+
+
+def load_ivf(path: str) -> IVFIndex:
+    from leccr_tpu.utils import io
+
+    local, staging = path, None
+    if path.startswith("hdfs://"):
+        local = staging = tempfile.mkdtemp(prefix="leccr_ivf_")
+        io.stage_remote_dir(path, local)
+    try:
+        with open(os.path.join(local, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest.get("kind") != "ivf":
+            raise ValueError(f"{path} is not an IVF index save")
+        allowed = set(manifest["optional"])
+        with open(os.path.join(local, "ids.json")) as f:
+            ids = json.load(f)
+
+        def arr(name):
+            if name not in allowed:
+                return None
+            return jax.device_put(np.load(os.path.join(local,
+                                                       name + ".npy")))
+
+        ivf = IVFIndex(centroids=arr("centroids"), packed=arr("packed"),
+                       valid=arr("valid"), rows=arr("rows"),
+                       ids=list(ids), scale=arr("scale"))
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+    if len(ivf.ids) != manifest["n"]:
+        raise ValueError(f"ivf index corrupt: {len(ivf.ids)} ids vs "
+                         f"manifest n={manifest['n']}")
+    return ivf

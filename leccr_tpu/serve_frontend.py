@@ -20,7 +20,8 @@ environment pins dependencies) with a threaded server so concurrent
 POSTs overlap inside the batcher:
 
     POST /search   {"queries": [...], "k": 10, "fusion": "none",
-                    "alpha": 0.9}        -> {"results": [[[id, score]..]..]}
+                    "alpha": 0.9, "nprobe": 8 (IVF indexes only)}
+                                         -> {"results": [[[id, score]..]..]}
     GET  /healthz                        -> {"ok": true, "index_size": N}
     GET  /stats                          -> batching counters
 
@@ -117,14 +118,19 @@ class DynamicBatcher:
 
     def search(self, queries: Sequence[str], k: int = 10,
                fusion: str = "none", alpha: float = 0.9,
+               nprobe: Optional[int] = None,
                timeout: Optional[float] = None
                ) -> List[List[Tuple[str, float]]]:
-        """Blocking search; safe to call from many threads concurrently."""
+        """Blocking search; safe to call from many threads concurrently.
+        `nprobe` applies only when the batcher serves an IVF index
+        (serve_ann) — it selects the recall/cost point per request and is
+        part of the coalescing signature."""
         queries = list(queries)
         if not queries:
             return []
         fut: Future = Future()
-        key = (int(k), str(fusion), round(float(alpha), 9))
+        key = (int(k), str(fusion), round(float(alpha), 9),
+               None if nprobe is None else int(nprobe))
         req = _Request(queries=queries, future=fut, t_enqueue=time.monotonic())
         with self._cv:
             if self._closed:
@@ -201,12 +207,24 @@ class DynamicBatcher:
             return key, reqs
 
     def _dispatch(self, key, reqs: List[_Request]) -> None:
-        k, fusion, alpha = key
+        k, fusion, alpha, nprobe = key
         queries = [q for r in reqs for q in r.queries]
         t0 = time.monotonic()
         try:
-            results = self.embedder.search_texts(
-                queries, self.index, k=k, fusion=fusion, alpha=alpha)
+            from leccr_tpu.serve_ann import IVFIndex, search_texts_ivf
+
+            if isinstance(self.index, IVFIndex):
+                if fusion != "none":
+                    raise ValueError(
+                        "an IVF index carries no slot bank; "
+                        f"fusion={fusion!r} is exact-index only")
+                results = search_texts_ivf(
+                    self.embedder, queries, self.index, k=k, nprobe=nprobe)
+            elif nprobe is not None:
+                raise ValueError("nprobe applies to IVF indexes only")
+            else:
+                results = self.embedder.search_texts(
+                    queries, self.index, k=k, fusion=fusion, alpha=alpha)
         except Exception as e:  # propagate to every caller in the batch
             with self._cv:
                 self.stats.errors += len(reqs)
@@ -272,10 +290,12 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(queries, list) or \
                     not all(isinstance(q, str) for q in queries):
                 raise ValueError('"queries" must be a list of strings')
+            nprobe = req.get("nprobe")
             results = batcher.search(
                 queries, k=int(req.get("k", 10)),
                 fusion=str(req.get("fusion", "none")),
-                alpha=float(req.get("alpha", 0.9)))
+                alpha=float(req.get("alpha", 0.9)),
+                nprobe=None if nprobe is None else int(nprobe))
         except ValueError as e:
             self._reply(400, {"error": str(e)})
         except BatcherOverloaded as e:  # shed load; client should retry

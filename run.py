@@ -76,6 +76,12 @@ def parse_args():
     b.add_argument("--int8", action="store_true",
                    help="quantize the index rows to int8 (4x smaller, "
                         "int8 MXU dot; ordering preserved to ~1e-3)")
+    b.add_argument("--ivf", action="store_true",
+                   help="cluster into an IVF approximate-NN index "
+                        "(serve_ann; probe cost independent of corpus "
+                        "size — for large corpora)")
+    b.add_argument("--ivf_clusters", default=0, type=int,
+                   help="IVF cluster count (0 = auto, ~4*sqrt(N))")
     return p.parse_args()
 
 
@@ -117,6 +123,19 @@ def build_index_main(args, cfg):
     else:
         index = emb.build_image_index(
             [ds.image_path(i) for i in ids], captions, ids=ids)
+    if args.ivf:
+        from leccr_tpu.serve_ann import (build_ivf_index, quantize_ivf,
+                                         save_ivf)
+
+        ivf = build_ivf_index(index, n_clusters=args.ivf_clusters or None)
+        if args.int8:
+            ivf = quantize_ivf(ivf)
+        save_ivf(ivf, args.index)
+        print(f"### built IVF index: {ivf.n_valid} items, "
+              f"C={ivf.n_clusters} cap={ivf.capacity}"
+              + (" (int8)" if ivf.quantized else "")
+              + f" -> {args.index}", flush=True)
+        return
     if args.int8:
         index = quantize_index(index)
     save_index(index, args.index)
@@ -168,9 +187,17 @@ def serve_main(args, cfg):
         build_datasets(cfg)
     emb = Embedder.from_config(cfg, checkpoint=args.checkpoint or None,
                                batch_size=args.serve_bs)
-    index = load_index(args.index)
-    print(f"### index: {index.n_valid} items"
-          + (" (int8)" if index.quantized else ""), flush=True)
+    from leccr_tpu.serve_ann import is_ivf_save, load_ivf
+
+    if is_ivf_save(args.index):
+        index = load_ivf(args.index)
+        print(f"### IVF index: {index.n_valid} items, "
+              f"C={index.n_clusters}"
+              + (" (int8)" if index.quantized else ""), flush=True)
+    else:
+        index = load_index(args.index)
+        print(f"### index: {index.n_valid} items"
+              + (" (int8)" if index.quantized else ""), flush=True)
     batcher = DynamicBatcher(emb, index, max_delay=args.max_delay_ms / 1000,
                              max_pending=args.max_pending or None)
     frontend = ServingFrontend(batcher, host=args.host, port=args.port)
@@ -178,7 +205,8 @@ def serve_main(args, cfg):
     # compile; indexes with slots (video / caption double-sim) also get
     # the minmax-fusion program, the one their clients actually use
     batcher.search(["warmup"], k=min(10, index.n_valid))
-    if cfg.model.vision.kind == "temporal" and index.slots is not None:
+    if (cfg.model.vision.kind == "temporal"
+            and getattr(index, "slots", None) is not None):
         # video clients search with the double-sim fusion
         # (video_Retrieval_caption_double_sim.py eval): warm that program
         batcher.search(["warmup"], k=min(10, index.n_valid),

@@ -6,6 +6,7 @@ import pathlib
 import subprocess
 import sys
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -131,6 +132,76 @@ def test_run_full_pipeline_train_build_index_serve(tmp_path):
         assert len(hits) == 2
         scores = [s for _, s in hits]
         assert scores == sorted(scores, reverse=True)
+    finally:
+        killer.cancel()
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=30)
+
+
+def test_run_serve_ivf_cli(embedder, tmp_path):
+    """--task serve auto-detects an IVF save and answers /search with a
+    per-request nprobe."""
+    from leccr_tpu.serve_ann import build_ivf_index, save_ivf
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(11)
+    images = rs.randint(0, 255, (12, res, res, 3)).astype(np.uint8)
+    captions = [f"a red dog in the field {i}" for i in range(12)]
+    index = embedder.build_image_index(
+        images, captions, ids=[f"img{i}" for i in range(12)])
+    ivf = build_ivf_index(index, n_clusters=3, iters=4)
+    idx_dir = tmp_path / "ivf_index"
+    save_ivf(ivf, str(idx_dir))
+    cfg_path = tmp_path / "config.json"
+    cfg.save(str(cfg_path))
+
+    env = dict(os.environ, LECCR_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "run.py", "--task", "serve",
+         "--config", str(cfg_path), "--output_dir", str(tmp_path / "out"),
+         "--index", str(idx_dir), "--port", "0", "--serve_bs", "4"],
+        cwd=str(REPO), env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    killer = threading.Timer(600, proc.kill)
+    killer.start()
+    lines = []
+    try:
+        base = None
+        saw_ivf = False
+        for line in proc.stdout:
+            lines.append(line)
+            saw_ivf |= line.startswith("### IVF index:")
+            if line.startswith("### serving on "):
+                base = line.split()[3]
+                break
+        assert base, "server never came up:\n" + "".join(lines)
+        assert saw_ivf, "serve did not detect the IVF save:\n" + "".join(lines)
+
+        body = json.dumps({"queries": ["a red dog"], "k": 3,
+                           "nprobe": 3}).encode()
+        req = urllib.request.Request(
+            base + "/search", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            hits = json.loads(r.read())["results"][0]
+        assert len(hits) == 3
+        assert all(hid.startswith("img") for hid, _ in hits)
+
+        # fusion against an IVF index is a client error (400), not a hang
+        body = json.dumps({"queries": ["a dog"], "fusion": "minmax"}).encode()
+        req = urllib.request.Request(
+            base + "/search", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         killer.cancel()
         proc.terminate()

@@ -1,0 +1,222 @@
+"""IVF approximate-NN index: exactness anchor, recall, packing
+invariants, int8 parity, persistence, and the Embedder search path."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from leccr_tpu.serve import ImageIndex
+from leccr_tpu.serve_ann import (IVFIndex, build_ivf_index, load_ivf,
+                                 quantize_ivf, save_ivf, search_texts_ivf)
+
+
+def _clustered_feats(n, e, n_concepts, rs, spread=0.15, cents=None):
+    """L2-normalized rows drawn around n_concepts random directions —
+    the cluster structure real retrieval embeddings have (uniform random
+    high-dim data is the known IVF worst case and not the serving
+    workload).  Pass `cents` to draw queries from the SAME concept
+    mixture as a corpus."""
+    if cents is None:
+        cents = rs.randn(n_concepts, e)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    x = cents[rs.randint(0, n_concepts, n)] + spread * rs.randn(n, e)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rs = np.random.RandomState(0)
+    cents = rs.randn(12, 32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    feats = _clustered_feats(512, 32, 12, rs, cents=cents)
+    index = ImageIndex(feats=jnp.asarray(feats), slots=None,
+                       ids=[f"item{i}" for i in range(512)])
+    return feats, index, cents
+
+
+@pytest.fixture(scope="module")
+def ivf(corpus):
+    _, index, _ = corpus
+    return build_ivf_index(index, n_clusters=16, iters=10, seed=0)
+
+
+def _exact_topk(feats, q, k):
+    s = q @ feats.T
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def _ivf_search_embedded(ivf, q, k, nprobe):
+    """Search with raw query embeddings (no text model) via the jitted
+    core, mirroring what search_texts_ivf runs after embed."""
+    import jax
+
+    from leccr_tpu.serve_ann import _ivf_topk
+
+    f = jax.jit(lambda qq: _ivf_topk(
+        qq, (ivf.centroids, ivf.packed, ivf.valid, ivf.rows, ivf.scale),
+        k, nprobe))
+    s, i = f(jnp.asarray(q))
+    return np.asarray(s), np.asarray(i)
+
+
+def test_packing_places_every_row_exactly_once(ivf, corpus):
+    feats = corpus[0]
+    rows = np.asarray(ivf.rows)
+    valid = np.asarray(ivf.valid)
+    placed = rows[valid]
+    assert placed.shape[0] == feats.shape[0]
+    assert len(np.unique(placed)) == feats.shape[0]
+    # packed bank actually holds the named rows
+    packed = np.asarray(ivf.packed)
+    np.testing.assert_allclose(packed[valid], feats[placed], atol=1e-6)
+    # capacity is sublane-aligned
+    assert ivf.capacity % 8 == 0
+
+
+def test_full_probe_is_exact(ivf, corpus):
+    """nprobe == n_clusters probes every cluster; every row is packed
+    exactly once, so the result must equal brute-force top-k."""
+    feats, _, cents = corpus
+    rs = np.random.RandomState(1)
+    q = _clustered_feats(9, 32, 12, rs, cents=cents)
+    es, ei = _exact_topk(feats, q, k=10)
+    s, i = _ivf_search_embedded(ivf, q, k=10, nprobe=ivf.n_clusters)
+    np.testing.assert_allclose(s, es, atol=1e-5)
+    # ids match wherever scores are untied (ties may legally reorder)
+    untied = np.abs(np.diff(es, axis=1)) > 1e-6
+    assert (i[:, :-1] == ei[:, :-1])[untied].mean() > 0.99
+
+
+def test_partial_probe_recall(ivf, corpus):
+    """On concept-clustered data a small probe budget keeps recall high
+    (queries drawn from the same concept mixture as the corpus)."""
+    feats, _, cents = corpus
+    rs = np.random.RandomState(2)
+    q = _clustered_feats(32, 32, 12, rs, cents=cents)
+    _, ei = _exact_topk(feats, q, k=10)
+    recall = {}
+    for nprobe in (4, 8):
+        _, i = _ivf_search_embedded(ivf, q, k=10, nprobe=nprobe)
+        recall[nprobe] = np.mean(
+            [len(set(a) & set(b)) / 10.0 for a, b in zip(i, ei)])
+    assert recall[4] >= 0.9, f"recall@10={recall[4]:.3f} at nprobe=4/16"
+    assert recall[8] >= 0.97, f"recall@10={recall[8]:.3f} at nprobe=8/16"
+    assert recall[8] >= recall[4]
+
+
+def test_int8_ivf_matches_f32_ordering(ivf, corpus):
+    cents = corpus[2]
+    q8 = quantize_ivf(ivf)
+    assert q8.packed.dtype == jnp.int8 and q8.scale.shape == (
+        ivf.n_clusters, ivf.capacity)
+    rs = np.random.RandomState(3)
+    q = _clustered_feats(8, 32, 12, rs, cents=cents)
+    sf, idf = _ivf_search_embedded(ivf, q, k=5, nprobe=ivf.n_clusters)
+    sq, idq = _ivf_search_embedded(q8, q, k=5, nprobe=ivf.n_clusters)
+    np.testing.assert_allclose(sq, sf, atol=5e-3)
+    untied = np.abs(np.diff(sf, axis=1)) > 1e-2
+    assert (idq[:, :-1] == idf[:, :-1])[untied].mean() > 0.95
+    # quantize is idempotent
+    assert quantize_ivf(q8) is q8
+
+
+def test_save_load_roundtrip(ivf, tmp_path):
+    p = str(tmp_path / "ivf")
+    save_ivf(ivf, p)
+    back = load_ivf(p)
+    assert back.ids == ivf.ids
+    np.testing.assert_array_equal(np.asarray(back.rows),
+                                  np.asarray(ivf.rows))
+    np.testing.assert_allclose(np.asarray(back.packed),
+                               np.asarray(ivf.packed))
+    np.testing.assert_allclose(np.asarray(back.centroids),
+                               np.asarray(ivf.centroids))
+    assert back.scale is None
+
+    # int8 save keeps the scale; a second fp32 save over the same dir
+    # must not resurrect it (manifest scoping, as serve.save_index)
+    save_ivf(quantize_ivf(ivf), p)
+    assert load_ivf(p).quantized
+    save_ivf(ivf, p)
+    again = load_ivf(p)
+    assert not again.quantized
+
+    # a non-ivf directory is rejected
+    other = tmp_path / "notivf"
+    other.mkdir()
+    (other / "manifest.json").write_text(json.dumps({"optional": [],
+                                                     "n": 0}))
+    with pytest.raises(ValueError, match="not an IVF"):
+        load_ivf(str(other))
+
+
+def test_build_rejects_bad_inputs(corpus):
+    from leccr_tpu.serve import quantize_index
+
+    index = corpus[1]
+    with pytest.raises(ValueError, match="fp32"):
+        build_ivf_index(quantize_index(index), n_clusters=4)
+    with pytest.raises(ValueError, match="n_clusters"):
+        build_ivf_index(index, n_clusters=0)
+    with pytest.raises(ValueError, match="n_clusters"):
+        build_ivf_index(index, n_clusters=10_000)
+
+
+def test_batcher_serves_ivf_index(embedder):
+    """DynamicBatcher routes to the IVF search path, keys coalescing on
+    nprobe, and rejects fusion (no slot bank on an IVF index)."""
+    from leccr_tpu.serve_frontend import DynamicBatcher
+
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(9)
+    images = rs.randint(0, 255, (16, res, res, 3)).astype(np.uint8)
+    caps = [f"a man rides his red bike {i}" for i in range(16)]
+    index = embedder.build_image_index(images, caps,
+                                       ids=[f"img{i}" for i in range(16)])
+    ivf = build_ivf_index(index, n_clusters=4, iters=5)
+    with DynamicBatcher(embedder, ivf) as b:
+        r = b.search(["a man rides"], k=3, nprobe=4)
+        assert len(r) == 1 and len(r[0]) == 3
+        assert all(i.startswith("img") for i, _ in r[0])
+        # default nprobe works; matches the explicit full probe vs exact
+        exact = embedder.search_texts(["a man rides"], index, k=3)
+        assert [i for i, _ in r[0]] == [i for i, _ in exact[0]]
+        with pytest.raises(ValueError, match="slot bank"):
+            b.search(["a man"], k=2, fusion="minmax")
+    # nprobe on an exact index is rejected
+    with DynamicBatcher(embedder, index) as b:
+        with pytest.raises(ValueError, match="IVF indexes only"):
+            b.search(["a man"], k=2, nprobe=2)
+
+
+def test_embedder_ivf_search(embedder):
+    """End to end through the text tower: IVF search at full probe equals
+    the exact Embedder search on the same index."""
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(5)
+    images = rs.randint(0, 255, (24, res, res, 3)).astype(np.uint8)
+    caps = [f"a man rides his red bike {i}" for i in range(24)]
+    index = embedder.build_image_index(images, caps,
+                                       ids=[f"img{i}" for i in range(24)])
+    ivf = build_ivf_index(index, n_clusters=4, iters=5)
+    queries = ["a man rides", "red dog field"]
+    exact = embedder.search_texts(queries, index, k=5)
+    ann = search_texts_ivf(embedder, queries, ivf, k=5,
+                           nprobe=ivf.n_clusters)
+    for e_row, a_row in zip(exact, ann):
+        assert [i for i, _ in e_row] == [i for i, _ in a_row]
+        np.testing.assert_allclose([s for _, s in e_row],
+                                   [s for _, s in a_row], atol=1e-4)
+    # partial probe returns well-formed results
+    part = search_texts_ivf(embedder, queries, ivf, k=5, nprobe=2)
+    assert len(part) == 2 and all(len(r) == 5 for r in part)
+    assert search_texts_ivf(embedder, [], ivf) == []
+    with pytest.raises(ValueError, match="nprobe"):
+        search_texts_ivf(embedder, queries, ivf, nprobe=99)
