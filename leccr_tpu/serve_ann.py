@@ -77,41 +77,72 @@ class IVFIndex:
         return self.scale is not None
 
 
+def _sim_block_rows(n: int, c: int) -> int:
+    """Rows per assignment block: cap the live [blk, C] f32 similarity
+    block at ~256 MiB so the full [N, C] matrix — 14.9 GiB at the 1M×4000
+    production point, more than one chip's HBM — never exists."""
+    blk = max(8, (256 << 20) // (4 * max(c, 1)))
+    blk = min(blk, -(-n // 8) * 8)
+    return -(-blk // 8) * 8
+
+
 def _kmeans(feats: jax.Array, n_clusters: int, iters: int,
             seed: int) -> jax.Array:
-    """Spherical k-means (Lloyd) on device.  Init = a random row sample;
-    a cluster that goes empty is reseeded to the row FARTHEST from its
-    assigned centroid (the classic split-the-worst heuristic), checked
-    host-side once per iteration — the per-iter host sync is two small
-    arrays, noise next to the assignment matmul at any real N."""
-    n, _ = feats.shape
+    """Spherical k-means (Lloyd) on device.  Init = a random row sample.
+    ALL iterations run inside one jitted fori_loop — one dispatch for the
+    whole build (a per-iteration host sync costs a transport round trip
+    each) — and each iteration streams the assignment as a scan over row
+    blocks (`_sim_block_rows`), accumulating segment sums/counts so the
+    [N, C] similarity never materializes.  A cluster that goes empty is
+    reseeded in-graph to the rows FARTHEST from their assigned centroids
+    (the classic split-the-worst heuristic), effective next iteration."""
+    n, e = feats.shape
     rs = np.random.RandomState(seed)
-    cent = feats[jnp.asarray(rs.choice(n, n_clusters, replace=False))]
+    init = feats[jnp.asarray(rs.choice(n, n_clusters, replace=False))]
+    blk = _sim_block_rows(n, n_clusters)
+    nb = -(-n // blk)
+    padded = nb * blk
 
-    @jax.jit
-    def step(cent):
-        sim = feats @ cent.T                                  # [N, C]
-        assign = jnp.argmax(sim, axis=1)
-        best = jnp.max(sim, axis=1)
-        sums = jax.ops.segment_sum(feats, assign,
-                                   num_segments=n_clusters)
-        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign,
-                                     num_segments=n_clusters)
-        new = sums / jnp.maximum(counts[:, None], 1.0)
-        norm = jnp.linalg.norm(new, axis=1, keepdims=True)
-        new = new / jnp.maximum(norm, 1e-12)
-        new = jnp.where(counts[:, None] > 0, new, cent)
-        # farthest-from-centroid rows, for empty-cluster reseeding
-        worst = jnp.argsort(best)[:n_clusters]
-        return new, counts, worst
+    def run(cent, f, w):
+        fb = f.reshape(nb, blk, e)
+        wb = w.reshape(nb, blk)
 
-    for _ in range(max(1, iters)):
-        cent, counts, worst = step(cent)
-        empty = np.nonzero(np.asarray(counts) == 0)[0]
-        if empty.size:
-            cent = cent.at[jnp.asarray(empty)].set(
-                feats[worst[: empty.size]])
-    return cent
+        def body(_, cent):
+            def blk_stats(carry, inp):
+                sums, counts = carry
+                fblk, wblk = inp
+                sim = fblk @ cent.T                       # [blk, C]
+                assign = jnp.argmax(sim, axis=1)
+                # pad rows (w=0) score +inf so they sort LAST among
+                # reseed candidates and weigh 0 in the update
+                best = jnp.where(wblk > 0, jnp.max(sim, axis=1), jnp.inf)
+                sums = sums + jax.ops.segment_sum(
+                    fblk * wblk[:, None], assign, num_segments=n_clusters)
+                counts = counts + jax.ops.segment_sum(
+                    wblk, assign, num_segments=n_clusters)
+                return (sums, counts), best
+
+            (sums, counts), best = jax.lax.scan(
+                blk_stats,
+                (jnp.zeros((n_clusters, e), jnp.float32),
+                 jnp.zeros((n_clusters,), jnp.float32)),
+                (fb, wb))
+            new = sums / jnp.maximum(counts[:, None], 1.0)
+            norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+            new = new / jnp.maximum(norm, 1e-12)
+            empty = counts == 0                           # [C]
+            # k-th empty cluster <- k-th worst-fit row (erank is garbage
+            # on non-empty entries; the where masks them)
+            worst = jnp.argsort(best.reshape(padded))
+            erank = jnp.clip(jnp.cumsum(empty) - 1, 0, padded - 1)
+            reseed = jnp.take(f, jnp.take(worst, erank), axis=0)
+            return jnp.where(empty[:, None], reseed, new)
+
+        return jax.lax.fori_loop(0, max(1, iters), body, cent)
+
+    f = jnp.pad(feats, ((0, padded - n), (0, 0)))
+    w = (jnp.arange(padded) < n).astype(jnp.float32)
+    return jax.jit(run)(init, f, w)
 
 
 def _pack(feats: jax.Array, cent: jax.Array, capacity_factor: float,
@@ -130,9 +161,15 @@ def _pack(feats: jax.Array, cent: jax.Array, capacity_factor: float,
     cap = int(np.ceil(n / c * capacity_factor))
     cap = max(8, -(-cap // 8) * 8)  # sublane-aligned [*, cap, E] layout
     p = min(candidates, c)
-    sims, cids = jax.jit(lambda f, ct: jax.lax.top_k(f @ ct.T, p))(
-        feats, cent)
-    sims, cids = np.asarray(sims), np.asarray(cids)
+    blk = _sim_block_rows(n, c)
+    nb = -(-n // blk)
+    fpad = jnp.pad(feats, ((0, nb * blk - n), (0, 0)))
+    # lax.map over row blocks: one [blk, C] similarity live at a time
+    sims, cids = jax.jit(lambda f, ct: jax.lax.map(
+        lambda fblk: jax.lax.top_k(fblk @ ct.T, p),
+        f.reshape(nb, blk, -1)))(fpad, cent)
+    sims = np.asarray(sims).reshape(nb * blk, p)[:n]
+    cids = np.asarray(cids).reshape(nb * blk, p)[:n]
     margin = sims[:, 0] - (sims[:, 1] if p > 1 else 0.0)
     rows = -np.ones((c, cap), np.int64)
     fill = np.zeros(c, np.int64)
