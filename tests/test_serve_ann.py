@@ -109,6 +109,39 @@ def test_partial_probe_recall(ivf, corpus):
     assert recall[8] >= recall[4]
 
 
+def test_blocked_build_matches_dense(corpus, monkeypatch):
+    """The production build streams [blk, C] similarity blocks (the full
+    [N, C] is 14.9 GiB at 1M×4000); CPU-size corpora fit one block, so
+    force tiny blocks to cover the multi-block + row-padding path: the
+    exactness anchor and packing invariants must hold identically, and
+    pad rows (weight 0) must never be packed or reseed a centroid."""
+    import leccr_tpu.serve_ann as sa
+
+    feats, _, cents = corpus
+    n = 500  # NOT a multiple of the block: exercises the padded tail
+    index = ImageIndex(feats=jnp.asarray(feats[:n]), slots=None,
+                       ids=[f"item{i}" for i in range(n)])
+    monkeypatch.setattr(sa, "_sim_block_rows", lambda nn, c: 64)
+    ivf = build_ivf_index(index, n_clusters=16, iters=10, seed=0)
+    assert ivf.n_clusters == 16
+    rows = np.asarray(ivf.rows)
+    valid = np.asarray(ivf.valid)
+    placed = rows[valid]
+    assert placed.shape[0] == n and len(np.unique(placed)) == n
+    assert placed.max() < n  # pad rows (>= n) never packed
+    # centroids are unit-norm (a pad-row reseed would break this only if
+    # a zero row sneaked in; unit check guards the weighting)
+    norms = np.linalg.norm(np.asarray(ivf.centroids), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    rs = np.random.RandomState(4)
+    q = _clustered_feats(9, 32, 12, rs, cents=cents)
+    es, ei = _exact_topk(feats[:n], q, k=10)
+    s, i = _ivf_search_embedded(ivf, q, k=10, nprobe=ivf.n_clusters)
+    np.testing.assert_allclose(s, es, atol=1e-5)
+    untied = np.abs(np.diff(es, axis=1)) > 1e-6
+    assert (i[:, :-1] == ei[:, :-1])[untied].mean() > 0.99
+
+
 def test_int8_ivf_matches_f32_ordering(ivf, corpus):
     cents = corpus[2]
     q8 = quantize_ivf(ivf)
