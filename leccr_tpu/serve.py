@@ -175,46 +175,98 @@ def remove_from_index(index: ImageIndex, ids: Sequence[str]) -> ImageIndex:
 _INDEX_OPTIONAL = ("slots", "scale", "slot_scale")
 
 
-def save_index(index: ImageIndex, path: str) -> None:
-    """Persist an index (feats/slots/ids) so serving restarts skip the
-    embed pass — build once with build_image_index/build_video_index,
-    serve many.  `path` is a directory; hdfs:// transparent via utils.io.
-    Sharded indexes are saved unsharded (re-shard after load)."""
-    import json
+def _staged_save_dir(path: str, prefix: str):
+    """Context manager yielding the LOCAL directory for a directory
+    save; an hdfs:// destination stages through a tempdir synced up
+    (contents-mirroring) only on clean exit.  One copy of the staging
+    contract for every index family (exact serve.py + serve_ann.py)."""
+    import contextlib
     import os
     import shutil
     import tempfile
 
     from leccr_tpu.utils import io
 
-    local = path
-    remote = staging = None
-    if path.startswith("hdfs://"):
-        remote = path
-        local = staging = tempfile.mkdtemp(prefix="leccr_index_")
-    try:
-        os.makedirs(local, exist_ok=True)
-        np.save(os.path.join(local, "feats.npy"),
-                np.asarray(index.feats)[: index.n_valid])
-        written = []
-        for name in _INDEX_OPTIONAL:
-            arr = getattr(index, name)
-            p = os.path.join(local, name + ".npy")
-            if arr is not None:
-                np.save(p, np.asarray(arr)[: index.n_valid])
-                written.append(name)
-            elif os.path.exists(p):  # stale file from a previous save
-                os.remove(p)
-        with open(os.path.join(local, "ids.json"), "w") as f:
-            json.dump(index.ids, f)
-        with open(os.path.join(local, "manifest.json"), "w") as f:
-            json.dump({"optional": written, "n": index.n_valid}, f)
-        if remote is not None:
-            io.makedirs(remote)
-            io.sync_dir_to_remote(local, remote)
-    finally:
-        if staging is not None:
-            shutil.rmtree(staging, ignore_errors=True)
+    @contextlib.contextmanager
+    def cm():
+        if path.startswith("hdfs://"):
+            local = tempfile.mkdtemp(prefix=prefix)
+            try:
+                yield local
+                io.makedirs(path)
+                io.sync_dir_to_remote(local, path)
+            finally:
+                shutil.rmtree(local, ignore_errors=True)
+        else:
+            os.makedirs(path, exist_ok=True)
+            yield path
+
+    return cm()
+
+
+def _staged_load_dir(path: str, prefix: str):
+    """Context manager yielding a LOCAL directory holding the save;
+    hdfs:// sources are staged down and cleaned up on exit."""
+    import contextlib
+    import shutil
+    import tempfile
+
+    from leccr_tpu.utils import io
+
+    @contextlib.contextmanager
+    def cm():
+        if path.startswith("hdfs://"):
+            local = tempfile.mkdtemp(prefix=prefix)
+            try:
+                io.stage_remote_dir(path, local)
+                yield local
+            finally:
+                shutil.rmtree(local, ignore_errors=True)
+        else:
+            yield path
+
+    return cm()
+
+
+def _write_array_save(local: str, required: Dict[str, np.ndarray],
+                      optional: Dict[str, Optional[np.ndarray]],
+                      ids: List[str], extra: Dict) -> None:
+    """The directory-save layout shared by the index families: required
+    arrays always written, optional arrays written when present and
+    their stale .npy REMOVED when absent, ids.json, and a manifest that
+    scopes the optional set to THIS save (see _INDEX_OPTIONAL note)."""
+    import json
+    import os
+
+    for name, arr in required.items():
+        np.save(os.path.join(local, name + ".npy"), arr)
+    written = []
+    for name, arr in optional.items():
+        p = os.path.join(local, name + ".npy")
+        if arr is not None:
+            np.save(p, arr)
+            written.append(name)
+        elif os.path.exists(p):  # stale file from a previous save
+            os.remove(p)
+    with open(os.path.join(local, "ids.json"), "w") as f:
+        json.dump(list(ids), f)
+    with open(os.path.join(local, "manifest.json"), "w") as f:
+        json.dump({"optional": written, "n": len(ids), **extra}, f)
+
+
+def save_index(index: ImageIndex, path: str) -> None:
+    """Persist an index (feats/slots/ids) so serving restarts skip the
+    embed pass — build once with build_image_index/build_video_index,
+    serve many.  `path` is a directory; hdfs:// transparent via utils.io.
+    Sharded indexes are saved unsharded (re-shard after load)."""
+    n = index.n_valid
+    with _staged_save_dir(path, "leccr_index_") as local:
+        _write_array_save(
+            local, {"feats": np.asarray(index.feats)[:n]},
+            {name: None if getattr(index, name) is None
+             else np.asarray(getattr(index, name))[:n]
+             for name in _INDEX_OPTIONAL},
+            index.ids, {})
 
 
 def load_index(path: str,
@@ -224,17 +276,8 @@ def load_index(path: str,
     row-sharded (shard_index) in the same call."""
     import json
     import os
-    import shutil
-    import tempfile
 
-    from leccr_tpu.utils import io
-
-    local = path
-    staging = None
-    if path.startswith("hdfs://"):
-        local = staging = tempfile.mkdtemp(prefix="leccr_index_")
-        io.stage_remote_dir(path, local)
-    try:
+    with _staged_load_dir(path, "leccr_index_") as local:
         feats = np.load(os.path.join(local, "feats.npy"))
         with open(os.path.join(local, "ids.json")) as f:
             ids = json.load(f)
@@ -262,9 +305,6 @@ def load_index(path: str,
         index = ImageIndex(
             feats=feats, slots=opt("slots"), ids=list(ids),
             scale=opt("scale"), slot_scale=opt("slot_scale"))
-    finally:
-        if staging is not None:
-            shutil.rmtree(staging, ignore_errors=True)
     if mesh is not None:
         return shard_index(index, mesh, axis)
     put = lambda x: None if x is None else jax.device_put(x)  # noqa: E731

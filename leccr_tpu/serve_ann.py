@@ -40,8 +40,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import shutil
-import tempfile
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -59,6 +57,9 @@ class IVFIndex:
     rows: jax.Array           # [C, cap] int32 global row id (0 where pad)
     ids: List[str]            # global row id -> item id
     scale: Optional[jax.Array] = None  # [C, cap] f32 int8 dequant scales
+    # searches with nprobe=None use this (calibrate_nprobe sets it;
+    # persisted by save_ivf) — the index carries its own operating point
+    default_nprobe: Optional[int] = None
 
     @property
     def n_clusters(self) -> int:
@@ -132,9 +133,12 @@ def _kmeans(feats: jax.Array, n_clusters: int, iters: int,
             new = new / jnp.maximum(norm, 1e-12)
             empty = counts == 0                           # [C]
             # k-th empty cluster <- k-th worst-fit row (erank is garbage
-            # on non-empty entries; the where masks them)
-            worst = jnp.argsort(best.reshape(padded))
-            erank = jnp.clip(jnp.cumsum(empty) - 1, 0, padded - 1)
+            # on non-empty entries; the where masks them).  top_k of the
+            # negated fits: at most C reseeds are ever consumed, so the
+            # full [padded] sort is waste (pads carry +inf fit -> they
+            # can enter this candidate set only if C > N, impossible)
+            worst = jax.lax.top_k(-best.reshape(padded), n_clusters)[1]
+            erank = jnp.clip(jnp.cumsum(empty) - 1, 0, n_clusters - 1)
             reseed = jnp.take(f, jnp.take(worst, erank), axis=0)
             return jnp.where(empty[:, None], reseed, new)
 
@@ -219,6 +223,9 @@ def build_ivf_index(index: ImageIndex, n_clusters: Optional[int] = None,
         n_clusters = max(1, min(n, int(4 * np.sqrt(n))))
     if not 1 <= n_clusters <= n:
         raise ValueError(f"n_clusters={n_clusters} not in [1, {n}]")
+    if capacity_factor < 1.0:
+        raise ValueError(  # _pack's never-fails invariant needs cap·C ≥ N
+            f"capacity_factor={capacity_factor} must be >= 1")
     feats = index.feats[:n].astype(jnp.float32)
     import time as _time
 
@@ -255,7 +262,7 @@ def quantize_ivf(ivf: IVFIndex) -> IVFIndex:
     packed, scale = q(ivf.packed)
     return IVFIndex(centroids=ivf.centroids, packed=packed,
                     valid=ivf.valid, rows=ivf.rows, ids=list(ivf.ids),
-                    scale=scale)
+                    scale=scale, default_nprobe=ivf.default_nprobe)
 
 
 def _ivf_topk(q: jax.Array, ivf_arrays, k: int, nprobe: int):
@@ -294,6 +301,62 @@ def _ivf_topk(q: jax.Array, ivf_arrays, k: int, nprobe: int):
     return vals, jnp.take_along_axis(r_all, pos, axis=1)
 
 
+def calibrate_nprobe(ivf: IVFIndex, target_recall: float = 0.95,
+                     k: int = 10, sample: int = 256,
+                     seed: int = 0) -> Tuple[int, float]:
+    """Smallest nprobe whose recall@k ≥ target_recall, measured on
+    `sample` corpus rows used as self-queries against the index's own
+    full probe (exact — every row is packed once), with the trivial
+    self-hit excluded from the ground truth.  Per-query probe sets are
+    NESTED in nprobe (top-nprobe clusters are a prefix of top-2nprobe),
+    so measured recall is monotone and a doubling ladder + binary refine
+    finds the exact threshold on the sample.  Returns (nprobe, recall);
+    stamp it with `dataclasses.replace(ivf, default_nprobe=n)` or let
+    run.py --task build_index --ivf_recall do both.  Runs on the bank as
+    deployed: calibrating the int8 index measures int8 scoring."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall={target_recall} not in (0, 1]")
+    c = ivf.n_clusters
+    rs = np.random.RandomState(seed)
+    valid = np.asarray(ivf.valid)
+    ci, si = np.nonzero(valid)
+    pick = rs.choice(ci.size, min(sample, ci.size), replace=False)
+    ci, si = ci[pick], si[pick]
+    packed = np.asarray(ivf.packed)[ci, si].astype(np.float32)
+    if ivf.scale is not None:
+        packed *= np.asarray(ivf.scale)[ci, si][:, None]
+    q = jnp.asarray(packed)
+    self_ids = np.asarray(ivf.rows)[ci, si]
+    arrays = (ivf.centroids, ivf.packed, ivf.valid, ivf.rows, ivf.scale)
+    kk = min(k + 1, ivf.n_valid)  # +1 absorbs the self-hit
+
+    def ids_at(nprobe):
+        f = jax.jit(_ivf_topk, static_argnums=(2, 3))
+        return np.asarray(f(q, arrays, kk, nprobe)[1])
+
+    gt = [set(r[r != s][:k]) or {s} for r, s in zip(ids_at(c), self_ids)]
+
+    def recall(nprobe):
+        got = ids_at(nprobe)
+        return float(np.mean([len(set(r[r != s][:k]) & g) / len(g)
+                              for r, s, g in zip(got, self_ids, gt)]))
+
+    lo, hi, r_hi = 0, 1, recall(1)  # invariant: lo fails, hi passes
+    while r_hi < target_recall and hi < c:
+        lo, hi = hi, min(2 * hi, c)
+        r_hi = recall(hi)
+    if r_hi < target_recall:  # even the exact probe missed (ties): C
+        return c, r_hi
+    while hi - lo > 1:  # recall is monotone (nested probe prefixes)
+        mid = (lo + hi) // 2
+        r_mid = recall(mid)
+        if r_mid >= target_recall:
+            hi, r_hi = mid, r_mid
+        else:
+            lo = mid
+    return hi, r_hi
+
+
 def _search_prog(emb: Embedder, k: int, nprobe: int, quant: bool):
     """One compiled tokenized-queries → embed → IVF top-k program per
     (k, nprobe, layout) — the same single-dispatch contract as the exact
@@ -320,13 +383,17 @@ def search_texts_ivf(emb: Embedder, queries: Sequence[str], ivf: IVFIndex,
                      ) -> List[List[Tuple[str, float]]]:
     """text → item retrieval over an IVF index: top-k (id, score) per
     query, scoring only the nprobe most-promising clusters.  nprobe dials
-    recall vs cost (default min(8, C)); nprobe == ivf.n_clusters is
-    exact."""
+    recall vs cost (default: the index's calibrated default_nprobe if
+    set, else min(8, C)); nprobe == ivf.n_clusters is
+    exact.  A row may come back SHORTER than k: the candidate pool is
+    nprobe·capacity, and probed clusters can hold fewer than k live rows
+    between them (pad slots score -inf and are dropped host-side rather
+    than surfaced as bogus row-0 aliases) — raise nprobe for more."""
     if nprobe is None:
-        nprobe = min(8, ivf.n_clusters)
+        nprobe = ivf.default_nprobe or min(8, ivf.n_clusters)
     if not 1 <= nprobe <= ivf.n_clusters:
         raise ValueError(f"nprobe={nprobe} not in [1, {ivf.n_clusters}]")
-    k = min(k, ivf.n_valid)
+    k = min(k, ivf.n_valid, nprobe * ivf.capacity)
     if not queries:
         return []
     prog = _search_prog(emb, k, nprobe, ivf.quantized)
@@ -340,7 +407,8 @@ def search_texts_ivf(emb: Embedder, queries: Sequence[str], ivf: IVFIndex,
         scores, gids = prog(emb.params, tids, mask, ivf.centroids,
                             ivf.packed, ivf.valid, ivf.rows, ivf.scale)
         scores, gids = np.asarray(scores)[:n], np.asarray(gids)[:n]
-        out.extend([(ivf.ids[j], float(s)) for j, s in zip(ri, rs)]
+        out.extend([(ivf.ids[j], float(s))
+                    for j, s in zip(ri, rs) if np.isfinite(s)]
                    for ri, rs in zip(gids, scores))
     return out
 
@@ -350,36 +418,18 @@ _IVF_ARRAYS = ("centroids", "packed", "valid", "rows", "scale")
 
 def save_ivf(ivf: IVFIndex, path: str) -> None:
     """Persist an IVF index (directory; hdfs:// transparent) — cluster
-    once, serve many restarts.  Same stale-optional-file manifest
-    contract as serve.save_index."""
-    from leccr_tpu.utils import io
+    once, serve many restarts.  Shares the staging + stale-optional-file
+    manifest contract with serve.save_index (serve._write_array_save)."""
+    from leccr_tpu.serve import _staged_save_dir, _write_array_save
 
-    local, remote, staging = path, None, None
-    if path.startswith("hdfs://"):
-        remote = path
-        local = staging = tempfile.mkdtemp(prefix="leccr_ivf_")
-    try:
-        os.makedirs(local, exist_ok=True)
-        written = []
-        for name in _IVF_ARRAYS:
-            arr = getattr(ivf, name)
-            p = os.path.join(local, name + ".npy")
-            if arr is not None:
-                np.save(p, np.asarray(arr))
-                written.append(name)
-            elif os.path.exists(p):
-                os.remove(p)
-        with open(os.path.join(local, "ids.json"), "w") as f:
-            json.dump(ivf.ids, f)
-        with open(os.path.join(local, "manifest.json"), "w") as f:
-            json.dump({"optional": written, "n": ivf.n_valid,
-                       "kind": "ivf"}, f)
-        if remote is not None:
-            io.makedirs(remote)
-            io.sync_dir_to_remote(local, remote)
-    finally:
-        if staging is not None:
-            shutil.rmtree(staging, ignore_errors=True)
+    with _staged_save_dir(path, "leccr_ivf_") as local:
+        _write_array_save(
+            local, {},
+            {name: None if getattr(ivf, name) is None
+             else np.asarray(getattr(ivf, name)) for name in _IVF_ARRAYS},
+            ivf.ids,
+            {"kind": "ivf", **({"nprobe": ivf.default_nprobe}
+                               if ivf.default_nprobe else {})})
 
 
 def is_ivf_save(path: str) -> bool:
@@ -396,13 +446,9 @@ def is_ivf_save(path: str) -> bool:
 
 
 def load_ivf(path: str) -> IVFIndex:
-    from leccr_tpu.utils import io
+    from leccr_tpu.serve import _staged_load_dir
 
-    local, staging = path, None
-    if path.startswith("hdfs://"):
-        local = staging = tempfile.mkdtemp(prefix="leccr_ivf_")
-        io.stage_remote_dir(path, local)
-    try:
+    with _staged_load_dir(path, "leccr_ivf_") as local:
         with open(os.path.join(local, "manifest.json")) as f:
             manifest = json.load(f)
         if manifest.get("kind") != "ivf":
@@ -419,10 +465,8 @@ def load_ivf(path: str) -> IVFIndex:
 
         ivf = IVFIndex(centroids=arr("centroids"), packed=arr("packed"),
                        valid=arr("valid"), rows=arr("rows"),
-                       ids=list(ids), scale=arr("scale"))
-    finally:
-        if staging is not None:
-            shutil.rmtree(staging, ignore_errors=True)
+                       ids=list(ids), scale=arr("scale"),
+                       default_nprobe=manifest.get("nprobe"))
     if len(ivf.ids) != manifest["n"]:
         raise ValueError(f"ivf index corrupt: {len(ivf.ids)} ids vs "
                          f"manifest n={manifest['n']}")

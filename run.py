@@ -82,6 +82,11 @@ def parse_args():
                         "size — for large corpora)")
     b.add_argument("--ivf_clusters", default=0, type=int,
                    help="IVF cluster count (0 = auto, ~4*sqrt(N))")
+    b.add_argument("--ivf_recall", default=0.0, type=float,
+                   help="calibrate the smallest nprobe hitting this "
+                        "recall@10 (self-query sample vs the exact "
+                        "probe) and save it as the index's default "
+                        "operating point (0 = skip)")
     return p.parse_args()
 
 
@@ -124,12 +129,21 @@ def build_index_main(args, cfg):
         index = emb.build_image_index(
             [ds.image_path(i) for i in ids], captions, ids=ids)
     if args.ivf:
-        from leccr_tpu.serve_ann import (build_ivf_index, quantize_ivf,
-                                         save_ivf)
+        import dataclasses
+
+        from leccr_tpu.serve_ann import (build_ivf_index, calibrate_nprobe,
+                                         quantize_ivf, save_ivf)
 
         ivf = build_ivf_index(index, n_clusters=args.ivf_clusters or None)
         if args.int8:
             ivf = quantize_ivf(ivf)
+        if args.ivf_recall:  # calibrate on the bank as deployed
+            nprobe, recall = calibrate_nprobe(
+                ivf, target_recall=args.ivf_recall)
+            ivf = dataclasses.replace(ivf, default_nprobe=nprobe)
+            print(f"### calibrated nprobe={nprobe} "
+                  f"(recall@10 {recall:.3f} >= {args.ivf_recall})",
+                  flush=True)
         save_ivf(ivf, args.index)
         print(f"### built IVF index: {ivf.n_valid} items, "
               f"C={ivf.n_clusters} cap={ivf.capacity}"

