@@ -149,34 +149,39 @@ def _kmeans(feats: jax.Array, n_clusters: int, iters: int,
     return jax.jit(run)(init, f, w)
 
 
-def _pack(feats: jax.Array, cent: jax.Array, capacity_factor: float,
-          candidates: int) -> Tuple[np.ndarray, int]:
-    """Capacity-bounded assignment.  Returns (rows [C, cap] int64 with -1
-    pads, cap).  Vectorized round-based greedy: round j places every
-    still-unplaced row into its rank-j cluster while space lasts (within
-    a round, contested slots go to the rows with the strongest top1-top2
-    margin) — every row gets a shot at its TRUE nearest cluster before
-    any row falls back to its second choice.  A row whose top-
-    `candidates` clusters all filled spills to the emptiest clusters;
-    total capacity ≥ N by construction, so placement never fails.  Pure
-    numpy sorts — O(P · N log N) host time, no Python-per-row loop."""
+def _candidate_clusters(feats: jax.Array, cent: jax.Array,
+                        p: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-`p` candidate clusters per row, streamed: lax.map over row
+    blocks keeps one [blk, C] similarity live at a time.  Returns
+    (sims [N, p], cluster ids [N, p]) on host."""
     n = feats.shape[0]
-    c = cent.shape[0]
-    cap = int(np.ceil(n / c * capacity_factor))
-    cap = max(8, -(-cap // 8) * 8)  # sublane-aligned [*, cap, E] layout
-    p = min(candidates, c)
-    blk = _sim_block_rows(n, c)
+    blk = _sim_block_rows(n, cent.shape[0])
     nb = -(-n // blk)
     fpad = jnp.pad(feats, ((0, nb * blk - n), (0, 0)))
-    # lax.map over row blocks: one [blk, C] similarity live at a time
     sims, cids = jax.jit(lambda f, ct: jax.lax.map(
         lambda fblk: jax.lax.top_k(fblk @ ct.T, p),
         f.reshape(nb, blk, -1)))(fpad, cent)
-    sims = np.asarray(sims).reshape(nb * blk, p)[:n]
-    cids = np.asarray(cids).reshape(nb * blk, p)[:n]
-    margin = sims[:, 0] - (sims[:, 1] if p > 1 else 0.0)
-    rows = -np.ones((c, cap), np.int64)
-    fill = np.zeros(c, np.int64)
+    return (np.asarray(sims).reshape(nb * blk, p)[:n],
+            np.asarray(cids).reshape(nb * blk, p)[:n])
+
+
+def _greedy_place(cids: np.ndarray, margin: np.ndarray, cap: int,
+                  fill: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Capacity-bounded placement of N rows into clusters with free
+    slots (mutates `fill` — pass existing occupancy to add to a built
+    bank).  Vectorized round-based greedy: round j places every
+    still-unplaced row into its rank-j candidate while space lasts
+    (within a round, contested slots go to the rows with the strongest
+    top1-top2 margin) — every row gets a shot at its TRUE nearest
+    cluster before any row falls back to its second choice.  A row whose
+    candidates all filled spills to the emptiest clusters; total free
+    capacity ≥ N by the callers' invariants, so placement never fails.
+    Pure numpy sorts — O(P · N log N) host time, no Python-per-row loop.
+    Returns (cluster [N], slot [N]) per row."""
+    c = fill.shape[0]
+    n, p = cids.shape
+    place_c = -np.ones(n, np.int64)
+    place_s = -np.ones(n, np.int64)
     todo = np.argsort(-margin)  # row ids, strongest preference first
     for j in range(p):
         if not todo.size:
@@ -186,8 +191,9 @@ def _pack(feats: jax.Array, cent: jax.Array, capacity_factor: float,
         sc = cand[order]
         rank = np.arange(sc.size) - np.searchsorted(sc, np.arange(c))[sc]
         acc = rank < (cap - fill)[sc]
-        pos = fill[sc[acc]] + rank[acc]
-        rows[sc[acc], pos] = todo[order[acc]]
+        rid = todo[order[acc]]
+        place_c[rid] = sc[acc]
+        place_s[rid] = fill[sc[acc]] + rank[acc]
         fill += np.bincount(sc[acc], minlength=c)
         keep = np.ones(todo.size, bool)
         keep[order[acc]] = False
@@ -200,7 +206,27 @@ def _pack(feats: jax.Array, cent: jax.Array, capacity_factor: float,
             [np.arange(fill[cc], cap) for cc in cl_order if free[cc]]
             or [np.empty(0, np.int64)])
         m = todo.size
-        rows[slot_c[:m], slot_p[:m]] = todo
+        place_c[todo] = slot_c[:m]
+        place_s[todo] = slot_p[:m]
+        fill += np.bincount(slot_c[:m], minlength=c)
+    return place_c, place_s
+
+
+def _pack(feats: jax.Array, cent: jax.Array, capacity_factor: float,
+          candidates: int) -> Tuple[np.ndarray, int]:
+    """Capacity-bounded assignment at build time.  Returns (rows
+    [C, cap] int64 with -1 pads, cap)."""
+    n = feats.shape[0]
+    c = cent.shape[0]
+    cap = int(np.ceil(n / c * capacity_factor))
+    cap = max(8, -(-cap // 8) * 8)  # sublane-aligned [*, cap, E] layout
+    p = min(candidates, c)
+    sims, cids = _candidate_clusters(feats, cent, p)
+    margin = sims[:, 0] - (sims[:, 1] if p > 1 else 0.0)
+    place_c, place_s = _greedy_place(cids, margin, cap,
+                                     np.zeros(c, np.int64))
+    rows = -np.ones((c, cap), np.int64)
+    rows[place_c, place_s] = np.arange(n)
     return rows, cap
 
 
@@ -263,6 +289,98 @@ def quantize_ivf(ivf: IVFIndex) -> IVFIndex:
     return IVFIndex(centroids=ivf.centroids, packed=packed,
                     valid=ivf.valid, rows=ivf.rows, ids=list(ivf.ids),
                     scale=scale, default_nprobe=ivf.default_nprobe)
+
+
+def add_to_ivf(ivf: IVFIndex, new: ImageIndex,
+               candidates: int = 8) -> IVFIndex:
+    """Incremental IVF maintenance: append a built exact index's items
+    (`build_image_index`/`build_video_index` the NEW items only, then
+    add — nothing existing is re-embedded or re-clustered).  Mirrors
+    `serve.merge_indexes` for the approximate family.
+
+    Each new row lands in its nearest candidate cluster with free
+    capacity (same greedy placement as build time, seeded with the
+    bank's current occupancy; spill to the emptiest clusters if its
+    candidates are full); when the bank itself is full, the shared
+    capacity grows (8-aligned) so placement never fails.  Existing rows
+    keep their bytes bit-for-bit — int8 dequant scales are per-row, so
+    adding to a quantized index is exact; new rows are quantized with
+    the same per-row scheme on the way in.
+
+    Centroids are NOT re-fit: recall at a fixed nprobe degrades slowly
+    as the add fraction grows (new rows still pack under their true
+    nearest centroid, but the partition no longer reflects them).  After
+    adds comparable to the original corpus size, rebuild — and
+    re-run `calibrate_nprobe` either way if the operating point
+    matters."""
+    if new.mesh is not None:
+        raise ValueError("add_to_ivf from an unsharded index")
+    if new.quantized:
+        raise ValueError("add_to_ivf from the fp32 index (new rows are "
+                         "quantized on the way in when the bank is int8)")
+    dup = set(ivf.ids) & set(new.ids)
+    if dup:
+        raise ValueError(f"duplicate ids in add: {sorted(dup)[:5]} ...")
+    n_new = new.n_valid
+    if n_new == 0:
+        return ivf
+    c, cap = ivf.n_clusters, ivf.capacity
+    feats = new.feats[:n_new].astype(jnp.float32)
+    fill = np.asarray(ivf.valid).sum(axis=1).astype(np.int64)
+    packed, vmask, rows, scale = ivf.packed, ivf.valid, ivf.rows, ivf.scale
+    free = c * cap - int(fill.sum())
+    if free < n_new:  # grow every cluster's capacity, 8-aligned
+        grow = -(-(n_new - free) // c)  # ceil: extra slots per cluster
+        grow = -(-grow // 8) * 8        # keep cap sublane-aligned
+        packed = jnp.pad(packed, ((0, 0), (0, grow), (0, 0)))
+        vmask = jnp.pad(vmask, ((0, 0), (0, grow)))
+        rows = jnp.pad(rows, ((0, 0), (0, grow)))
+        if scale is not None:
+            scale = jnp.pad(scale, ((0, 0), (0, grow)))
+        cap += grow
+    p = min(candidates, c)
+    sims, cids = _candidate_clusters(feats, ivf.centroids, p)
+    margin = sims[:, 0] - (sims[:, 1] if p > 1 else 0.0)
+    place_c, place_s = _greedy_place(cids, margin, cap, fill)
+    pc = jnp.asarray(place_c, jnp.int32)
+    ps = jnp.asarray(place_s, jnp.int32)
+    if ivf.quantized:
+        qnew, snew = jax.jit(_quantize_rows)(feats)
+        packed = packed.at[pc, ps].set(qnew)
+        scale = scale.at[pc, ps].set(snew)
+    else:
+        packed = packed.at[pc, ps].set(feats)
+    gids = len(ivf.ids) + jnp.arange(n_new, dtype=jnp.int32)
+    return IVFIndex(centroids=ivf.centroids, packed=packed,
+                    valid=vmask.at[pc, ps].set(True),
+                    rows=rows.at[pc, ps].set(gids),
+                    ids=list(ivf.ids) + list(new.ids), scale=scale,
+                    default_nprobe=ivf.default_nprobe)
+
+
+def remove_from_ivf(ivf: IVFIndex, ids: Sequence[str]) -> IVFIndex:
+    """Drop items by id without re-clustering: their slots flip invalid
+    and the surviving rows renumber so global row ids stay dense (the
+    ids list compacts — searches and calibration never see holes).  The
+    packed bank's bytes are untouched (invalid slots score -inf in every
+    search), so this is exact on int8 too.  Unknown ids are an error.
+    Mirrors `serve.remove_from_index` for the approximate family."""
+    drop = set(ids)
+    unknown = drop - set(ivf.ids)
+    if unknown:
+        raise ValueError(f"unknown ids: {sorted(unknown)[:5]} ...")
+    if not drop:
+        return ivf
+    keep = np.asarray([i not in drop for i in ivf.ids])
+    new_gid = np.cumsum(keep) - 1  # meaningful only where keep
+    rows = np.asarray(ivf.rows)
+    valid = np.asarray(ivf.valid) & keep[rows]
+    return IVFIndex(centroids=ivf.centroids, packed=ivf.packed,
+                    valid=jnp.asarray(valid),
+                    rows=jnp.asarray(
+                        np.where(valid, new_gid[rows], 0).astype(np.int32)),
+                    ids=[i for i in ivf.ids if i not in drop],
+                    scale=ivf.scale, default_nprobe=ivf.default_nprobe)
 
 
 def _ivf_topk(q: jax.Array, ivf_arrays, k: int, nprobe: int):

@@ -154,6 +154,42 @@ def main():
                   f"device {wall * 1e3:.3f} ms/batch-8 "
                   f"({8 / wall:.0f} QPS/chip); recall@10 {recall:.3f}")
 
+    if "--maintain" in sys.argv:
+        # incremental maintenance at scale: add 1% new rows / remove 1%,
+        # then check recall at nprobe=8 against the post-maintenance
+        # exact ranker (centroids are not re-fit on add — this measures
+        # how much the stale partition costs at a realistic add size)
+        from leccr_tpu.serve_ann import add_to_ivf, remove_from_ivf
+
+        n_add = max(8, N_ROWS // 100)
+        newf, _ = clustered(n_add, e, n_concepts,
+                            np.random.RandomState(11), cents=cents)
+        newi = ImageIndex(feats=jax.device_put(newf), slots=None,
+                          ids=[f"new{i}" for i in range(n_add)])
+        t0 = time.time()
+        merged = add_to_ivf(ivf, newi)
+        jax.block_until_ready(merged.packed)
+        add_s = time.time() - t0
+        t0 = time.time()
+        pruned = remove_from_ivf(merged, [str(i) for i in
+                                          range(0, N_ROWS, 100)])
+        jax.block_until_ready(pruned.valid)
+        rm_s = time.time() - t0
+        import jax.numpy as jnp
+
+        allf = jnp.concatenate([index.feats, newi.feats])
+        exact_ids = np.asarray(exact_top(qv, allf)[1])
+        arrays = (merged.centroids, merged.packed, merged.valid,
+                  merged.rows, merged.scale)
+        ids = np.asarray(jax.jit(_ivf_topk, static_argnums=(2, 3))(
+            qv, arrays, 10, 8)[1])
+        recall = np.mean([len(set(a) & set(b)) / 10.0
+                          for a, b in zip(ids, exact_ids)])
+        print(f"maintain: add_to_ivf {n_add} rows {add_s:.2f}s "
+              f"(cap {ivf.capacity} -> {merged.capacity}), "
+              f"remove_from_ivf {len(range(0, N_ROWS, 100))} rows "
+              f"{rm_s:.2f}s; post-add recall@10@nprobe=8 {recall:.3f}")
+
 
 if __name__ == "__main__":
     main()

@@ -325,3 +325,140 @@ def test_embedder_ivf_search(embedder):
     assert search_texts_ivf(embedder, [], ivf) == []
     with pytest.raises(ValueError, match="nprobe"):
         search_texts_ivf(embedder, queries, ivf, nprobe=99)
+
+
+def test_add_to_ivf_exact_after_merge(corpus):
+    """Add a second shard of the corpus to an IVF built on the first:
+    every row (old and new) is packed exactly once, the bank holds the
+    named rows, and the full probe equals the dense ranker over the
+    MERGED corpus — the same exactness anchor the build has."""
+    from leccr_tpu.serve_ann import add_to_ivf
+
+    feats, _, cents = corpus
+    base = ImageIndex(feats=jnp.asarray(feats[:400]), slots=None,
+                      ids=[f"item{i}" for i in range(400)])
+    newi = ImageIndex(feats=jnp.asarray(feats[400:]), slots=None,
+                      ids=[f"item{i}" for i in range(400, 512)])
+    ivf = build_ivf_index(base, n_clusters=16, iters=10, seed=0)
+    merged = add_to_ivf(ivf, newi)
+    assert merged.n_valid == 512
+    assert merged.ids == [f"item{i}" for i in range(512)]
+    rows = np.asarray(merged.rows)
+    valid = np.asarray(merged.valid)
+    placed = rows[valid]
+    assert placed.size == 512 and len(np.unique(placed)) == 512
+    np.testing.assert_allclose(np.asarray(merged.packed)[valid],
+                               feats[placed], atol=1e-6)
+    rs = np.random.RandomState(7)
+    q = _clustered_feats(9, 32, 12, rs, cents=cents)
+    es, ei = _exact_topk(feats, q, k=10)
+    s, i = _ivf_search_embedded(merged, q, k=10,
+                                nprobe=merged.n_clusters)
+    np.testing.assert_allclose(s, es, atol=1e-5)
+    untied = np.abs(np.diff(es, axis=1)) > 1e-6
+    assert (i[:, :-1] == ei[:, :-1])[untied].mean() > 0.99
+    # the original index is untouched (functional update)
+    assert ivf.n_valid == 400 and ivf.capacity <= merged.capacity
+    # empty add is a no-op; duplicate/sharded/quantized sources rejected
+    empty = ImageIndex(feats=jnp.zeros((0, 32)), slots=None, ids=[])
+    assert add_to_ivf(merged, empty) is merged
+    with pytest.raises(ValueError, match="duplicate"):
+        add_to_ivf(merged, base)
+
+
+def test_add_to_ivf_int8_keeps_existing_bytes(corpus):
+    """Adding to a quantized bank is exact for existing rows: their int8
+    bytes and per-row scales are bit-identical after the add, and the
+    new rows are findable (each new row's fp32 vector retrieves itself
+    at full probe)."""
+    from leccr_tpu.serve_ann import add_to_ivf
+
+    feats, _, _ = corpus
+    base = ImageIndex(feats=jnp.asarray(feats[:400]), slots=None,
+                      ids=[f"item{i}" for i in range(400)])
+    newi = ImageIndex(feats=jnp.asarray(feats[400:]), slots=None,
+                      ids=[f"item{i}" for i in range(400, 512)])
+    q8 = quantize_ivf(build_ivf_index(base, n_clusters=16, iters=10,
+                                      seed=0))
+    before_packed = np.asarray(q8.packed).copy()
+    before_scale = np.asarray(q8.scale).copy()
+    before_valid = np.asarray(q8.valid).copy()
+    merged = add_to_ivf(q8, newi)
+    assert merged.quantized and merged.packed.dtype == jnp.int8
+    cap0 = q8.capacity
+    np.testing.assert_array_equal(
+        np.asarray(merged.packed)[:, :cap0][before_valid],
+        before_packed[before_valid])
+    np.testing.assert_array_equal(
+        np.asarray(merged.scale)[:, :cap0][before_valid],
+        before_scale[before_valid])
+    s, i = _ivf_search_embedded(merged, feats[400:416], k=1,
+                                nprobe=merged.n_clusters)
+    np.testing.assert_array_equal(i[:, 0], np.arange(400, 416))
+
+
+def test_add_to_ivf_grows_capacity():
+    """A full bank grows its shared capacity (8-aligned) instead of
+    failing placement; invariants and exactness hold after the grow."""
+    from leccr_tpu.serve_ann import add_to_ivf
+
+    rs = np.random.RandomState(1)
+    feats = _clustered_feats(76, 16, 4, rs)
+    base = ImageIndex(feats=jnp.asarray(feats[:60]), slots=None,
+                      ids=[f"item{i}" for i in range(60)])
+    ivf = build_ivf_index(base, n_clusters=4, iters=5,
+                          capacity_factor=1.0, seed=0)
+    free = ivf.n_clusters * ivf.capacity - 60
+    n_new = 76 - 60
+    assert free < n_new  # the add below must grow the bank
+    newi = ImageIndex(feats=jnp.asarray(feats[60:]), slots=None,
+                      ids=[f"item{i}" for i in range(60, 76)])
+    merged = add_to_ivf(ivf, newi)
+    assert merged.capacity > ivf.capacity
+    assert merged.capacity % 8 == 0
+    rows = np.asarray(merged.rows)
+    valid = np.asarray(merged.valid)
+    placed = rows[valid]
+    assert placed.size == 76 and len(np.unique(placed)) == 76
+    np.testing.assert_allclose(np.asarray(merged.packed)[valid],
+                               feats[placed], atol=1e-6)
+    s, i = _ivf_search_embedded(merged, feats[:8], k=1,
+                                nprobe=merged.n_clusters)
+    np.testing.assert_array_equal(i[:, 0], np.arange(8))
+
+
+def test_remove_from_ivf(ivf, corpus):
+    """Removed items never surface, survivors renumber densely, and the
+    full probe equals the dense ranker over the surviving corpus."""
+    from leccr_tpu.serve_ann import remove_from_ivf
+
+    feats, _, cents = corpus
+    drop = [f"item{i}" for i in range(0, 512, 7)]
+    kept = remove_from_ivf(ivf, drop)
+    survivors = [i for i in range(512) if f"item{i}" not in set(drop)]
+    assert kept.n_valid == len(survivors)
+    assert kept.ids == [f"item{i}" for i in survivors]
+    rows = np.asarray(kept.rows)
+    valid = np.asarray(kept.valid)
+    placed = rows[valid]
+    assert placed.size == len(survivors)
+    assert len(np.unique(placed)) == len(survivors)
+    keep_feats = feats[survivors]
+    np.testing.assert_allclose(np.asarray(kept.packed)[valid],
+                               keep_feats[placed], atol=1e-6)
+    rs = np.random.RandomState(8)
+    q = _clustered_feats(9, 32, 12, rs, cents=cents)
+    es, ei = _exact_topk(keep_feats, q, k=10)
+    s, i = _ivf_search_embedded(kept, q, k=10, nprobe=kept.n_clusters)
+    np.testing.assert_allclose(s, es, atol=1e-5)
+    untied = np.abs(np.diff(es, axis=1)) > 1e-6
+    assert (i[:, :-1] == ei[:, :-1])[untied].mean() > 0.99
+    # the original index is untouched; errors and no-ops
+    assert ivf.n_valid == 512
+    assert remove_from_ivf(ivf, []) is ivf
+    with pytest.raises(ValueError, match="unknown ids"):
+        remove_from_ivf(ivf, ["nope"])
+    # int8: removal is pure masking — exact on the quantized bank too
+    q8 = remove_from_ivf(quantize_ivf(ivf), drop)
+    sq, iq = _ivf_search_embedded(q8, q, k=10, nprobe=q8.n_clusters)
+    np.testing.assert_allclose(sq, es, atol=5e-3)
