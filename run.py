@@ -33,7 +33,7 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", default="itr_caption",
                    choices=["itr_caption", "vtr_caption", "serve",
-                            "build_index", "export"])
+                            "build_index", "update_index", "export"])
     p.add_argument("--config", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", default="",
@@ -87,7 +87,44 @@ def parse_args():
                         "recall@10 (self-query sample vs the exact "
                         "probe) and save it as the index's default "
                         "operating point (0 = skip)")
+    u = p.add_argument_group("update_index", "--task update_index only")
+    u.add_argument("--remove_ids", default="",
+                   help="comma-separated item ids to drop from the index")
+    u.add_argument("--add_new", action="store_true",
+                   help="embed and add the split's items not yet in the "
+                        "index (incremental corpus sync; existing rows "
+                        "are never re-embedded)")
     return p.parse_args()
+
+
+def _corpus_split(args, cfg):
+    """The dataset split whose visual corpus gets indexed.  The corpus
+    (and its MLLM captions) is language-independent; any language's
+    split carries the same images/videos.  build_datasets first: for the
+    synthetic dataset it generates the on-disk corpus AND rewrites
+    cfg.data paths (vocab included), which the Embedder's tokenizer
+    needs."""
+    from leccr_tpu.train.trainer import build_datasets
+
+    _, val_ds, test_ds = build_datasets(cfg)
+    splits = test_ds if args.split == "test" else val_ds
+    return next(iter(splits.values()))
+
+
+def _embed_corpus(emb, cfg, ds, ids):
+    """Embed the given corpus item ids (a subset of ds's id set) into an
+    exact ImageIndex through the trained model."""
+    import numpy as np
+
+    captions = [ds.generated[i] for i in ids]
+    if cfg.model.vision.kind == "temporal":
+        pos = {im: i for i, im in enumerate(ds.index.image_ids)}
+        pairs = [ds.get(pos[i])[0] for i in ids]  # ds.get is positional
+        return emb.build_video_index(
+            np.stack([p[0] for p in pairs]), captions,
+            frame_masks=np.stack([p[1] for p in pairs]), ids=ids)
+    return emb.build_image_index(
+        [ds.image_path(i) for i in ids], captions, ids=ids)
 
 
 def build_index_main(args, cfg):
@@ -100,34 +137,15 @@ def build_index_main(args, cfg):
     closest artifact is the per-epoch eval embed loop
     (image_Retrieval_caption.py:123-145), which this reuses as a
     deployment artifact instead of recomputing per process."""
-    import numpy as np
-
     from leccr_tpu.serve import Embedder, quantize_index, save_index
-    from leccr_tpu.train.trainer import build_datasets
 
     if not args.index:
         raise SystemExit("--task build_index requires --index "
                          "(the output directory for serve.save_index)")
-    # datasets first: for the synthetic dataset build_datasets generates
-    # the on-disk corpus AND rewrites cfg.data paths (vocab included),
-    # which the Embedder's tokenizer needs
-    _, val_ds, test_ds = build_datasets(cfg)
+    ds = _corpus_split(args, cfg)
     emb = Embedder.from_config(cfg, checkpoint=args.checkpoint or None,
                                batch_size=args.serve_bs)
-    splits = test_ds if args.split == "test" else val_ds
-    # the visual corpus (and its MLLM captions) is language-independent;
-    # any language's split carries the same images/videos
-    ds = next(iter(splits.values()))
-    ids = list(ds.index.image_ids)
-    captions = [ds.generated[i] for i in ids]
-    if cfg.model.vision.kind == "temporal":
-        pairs = [ds.get(i)[0] for i in range(len(ds))]
-        index = emb.build_video_index(
-            np.stack([p[0] for p in pairs]), captions,
-            frame_masks=np.stack([p[1] for p in pairs]), ids=ids)
-    else:
-        index = emb.build_image_index(
-            [ds.image_path(i) for i in ids], captions, ids=ids)
+    index = _embed_corpus(emb, cfg, ds, list(ds.index.image_ids))
     if args.ivf:
         import dataclasses
 
@@ -156,6 +174,59 @@ def build_index_main(args, cfg):
     print(f"### built index: {index.n_valid} items"
           + (" (int8)" if index.quantized else "")
           + f" -> {args.index}", flush=True)
+
+
+def update_index_main(args, cfg):
+    """--task update_index: incremental maintenance on a saved index.
+
+    Syncs a deployed index with a changed corpus WITHOUT rebuilding:
+    `--remove_ids a,b,c` drops dead items; `--add_new` embeds only the
+    split's items not yet indexed and packs them in (exact family:
+    merge_indexes; IVF family: add_to_ivf — no re-cluster).  Existing
+    rows are never re-embedded and keep their bytes (int8 included).
+    The save kind is auto-detected, and the model is loaded only if
+    there is something to embed.  The reference's only corpus-change
+    story is re-running the whole eval embed loop from scratch
+    (image_Retrieval_caption.py:123-145)."""
+    from leccr_tpu.serve import (Embedder, load_index, merge_indexes,
+                                 quantize_index, remove_from_index,
+                                 save_index)
+    from leccr_tpu.serve_ann import (add_to_ivf, is_ivf_save, load_ivf,
+                                     remove_from_ivf, save_ivf)
+
+    if not args.index:
+        raise SystemExit("--task update_index requires --index "
+                         "(an existing saved index directory)")
+    removes = [s for s in args.remove_ids.split(",") if s]
+    if not removes and not args.add_new:
+        raise SystemExit("--task update_index needs --remove_ids "
+                         "and/or --add_new")
+    ivf = is_ivf_save(args.index)
+    index = load_ivf(args.index) if ivf else load_index(args.index)
+    n0 = index.n_valid
+    if removes:
+        index = (remove_from_ivf if ivf else remove_from_index)(
+            index, removes)
+    added = 0
+    if args.add_new:
+        ds = _corpus_split(args, cfg)
+        have = set(index.ids)
+        new_ids = [i for i in ds.index.image_ids if i not in have]
+        if new_ids:
+            emb = Embedder.from_config(
+                cfg, checkpoint=args.checkpoint or None,
+                batch_size=args.serve_bs)
+            new = _embed_corpus(emb, cfg, ds, new_ids)
+            if ivf:
+                index = add_to_ivf(index, new)
+            else:
+                if index.quantized:
+                    new = quantize_index(new)
+                index = merge_indexes(index, new)
+            added = len(new_ids)
+    (save_ivf if ivf else save_index)(index, args.index)
+    print(f"### updated index: {n0} -> {index.n_valid} items "
+          f"(+{added} -{len(removes)}) -> {args.index}", flush=True)
 
 
 def export_main(args, cfg):
@@ -312,6 +383,9 @@ def main():
         return
     if args.task == "build_index":
         build_index_main(args, cfg)
+        return
+    if args.task == "update_index":
+        update_index_main(args, cfg)
         return
     if args.task == "export":
         export_main(args, cfg)

@@ -118,6 +118,30 @@ def test_run_full_pipeline_train_build_index_serve(tmp_path):
 
     assert load_ivf(str(ivf_dir)).default_nprobe in (1, 2, 3)
 
+    # incremental maintenance from the CLI, both index families: drop
+    # two items, then --add_new syncs them back (they are still in the
+    # split) — embedding ONLY the missing two.  Exercises the int8
+    # merge path (idx_dir is int8) and the IVF add path.
+    from leccr_tpu.serve import load_index
+
+    all_ids = load_index(str(idx_dir)).ids
+    nprobe_before = load_ivf(str(ivf_dir)).default_nprobe
+    for d in (idx_dir, ivf_dir):
+        r = cli("--task", "update_index", "--index", str(d),
+                "--serve_bs", "4", "--remove_ids", ",".join(all_ids[:2]))
+        assert r.returncode == 0, r.stdout[-3000:]
+        assert f"{len(all_ids)} -> {len(all_ids) - 2} items" in r.stdout
+        r = cli("--task", "update_index", "--index", str(d),
+                "--serve_bs", "4", "--add_new")
+        assert r.returncode == 0, r.stdout[-3000:]
+        assert f"-> {len(all_ids)} items (+2 -0)" in r.stdout
+    back = load_index(str(idx_dir))
+    assert sorted(back.ids) == sorted(all_ids) and back.quantized
+    ivf_back = load_ivf(str(ivf_dir))
+    assert sorted(ivf_back.ids) == sorted(all_ids)
+    # the calibrated operating point survives the maintenance round trip
+    assert ivf_back.default_nprobe == nprobe_before
+
     proc = subprocess.Popen(
         [sys.executable, "run.py", "--task", "serve",
          "--config", str(out / "config.json"), "--output_dir", str(out),
