@@ -198,10 +198,12 @@ def update_index_main(args, cfg):
         raise SystemExit("--task update_index requires --index "
                          "(an existing saved index directory)")
     removes = [s for s in args.remove_ids.split(",") if s]
-    if not removes and not args.add_new:
-        raise SystemExit("--task update_index needs --remove_ids "
-                         "and/or --add_new")
+    if not removes and not args.add_new and not args.ivf_recall:
+        raise SystemExit("--task update_index needs --remove_ids, "
+                         "--add_new, and/or --ivf_recall")
     ivf = is_ivf_save(args.index)
+    if args.ivf_recall and not ivf:
+        raise SystemExit("--ivf_recall applies to IVF indexes only")
     index = load_ivf(args.index) if ivf else load_index(args.index)
     n0 = index.n_valid
     if removes:
@@ -224,6 +226,19 @@ def update_index_main(args, cfg):
                     new = quantize_index(new)
                 index = merge_indexes(index, new)
             added = len(new_ids)
+    if ivf and args.ivf_recall:
+        # maintenance shifts the recall/nprobe curve (adds live under a
+        # partition that wasn't fit to them): re-measure the smallest
+        # nprobe hitting the target on the maintained bank
+        import dataclasses
+
+        from leccr_tpu.serve_ann import calibrate_nprobe
+
+        nprobe, recall = calibrate_nprobe(index,
+                                          target_recall=args.ivf_recall)
+        index = dataclasses.replace(index, default_nprobe=nprobe)
+        print(f"### recalibrated nprobe={nprobe} "
+              f"(recall@10 {recall:.3f} >= {args.ivf_recall})", flush=True)
     (save_ivf if ivf else save_index)(index, args.index)
     print(f"### updated index: {n0} -> {index.n_valid} items "
           f"(+{added} -{len(removes)}) -> {args.index}", flush=True)

@@ -131,16 +131,21 @@ def test_run_full_pipeline_train_build_index_serve(tmp_path):
                 "--serve_bs", "4", "--remove_ids", ",".join(all_ids[:2]))
         assert r.returncode == 0, r.stdout[-3000:]
         assert f"{len(all_ids)} -> {len(all_ids) - 2} items" in r.stdout
+        extra = ("--ivf_recall", "0.9") if d is ivf_dir else ()
         r = cli("--task", "update_index", "--index", str(d),
-                "--serve_bs", "4", "--add_new")
+                "--serve_bs", "4", "--add_new", *extra)
         assert r.returncode == 0, r.stdout[-3000:]
         assert f"-> {len(all_ids)} items (+2 -0)" in r.stdout
     back = load_index(str(idx_dir))
     assert sorted(back.ids) == sorted(all_ids) and back.quantized
     ivf_back = load_ivf(str(ivf_dir))
     assert sorted(ivf_back.ids) == sorted(all_ids)
-    # the calibrated operating point survives the maintenance round trip
-    assert ivf_back.default_nprobe == nprobe_before
+    # the operating point survives the round trip: the plain update kept
+    # the stamped nprobe; the --ivf_recall update re-measured it on the
+    # maintained bank
+    assert nprobe_before in (1, 2, 3)
+    assert r.stdout.count("### recalibrated nprobe=") == 1
+    assert ivf_back.default_nprobe in (1, 2, 3)
 
     proc = subprocess.Popen(
         [sys.executable, "run.py", "--task", "serve",
