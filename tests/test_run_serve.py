@@ -140,6 +140,13 @@ def test_run_full_pipeline_train_build_index_serve(tmp_path):
     assert sorted(back.ids) == sorted(all_ids) and back.quantized
     ivf_back = load_ivf(str(ivf_dir))
     assert sorted(ivf_back.ids) == sorted(all_ids)
+    # the remove-then-add round trip must not clobber live rows
+    # (round-4 advisor): every row survives in the slot bookkeeping —
+    # item count alone can't detect overwritten packed slots
+    v = np.asarray(ivf_back.valid)
+    assert int(v.sum()) == ivf_back.n_valid
+    np.testing.assert_array_equal(np.sort(np.asarray(ivf_back.rows)[v]),
+                                  np.arange(ivf_back.n_valid))
     # the operating point survives the round trip: the plain update kept
     # the stamped nprobe; the --ivf_recall update re-measured it on the
     # maintained bank

@@ -462,3 +462,47 @@ def test_remove_from_ivf(ivf, corpus):
     q8 = remove_from_ivf(quantize_ivf(ivf), drop)
     sq, iq = _ivf_search_embedded(q8, q, k=10, nprobe=q8.n_clusters)
     np.testing.assert_allclose(sq, es, atol=5e-3)
+
+
+def test_remove_then_add_keeps_all_rows(corpus):
+    """Regression (round-4 advisor, high): remove-then-add on the same
+    bank.  remove_from_ivf must compact each cluster's survivors to a
+    slot prefix; without it, a later add_to_ivf (which writes new rows
+    at slot indices fill..fill+count-1 with fill = valid.sum) would
+    silently overwrite live rows left stranded beyond a hole.  Asserts
+    the prefix invariant, the slot bookkeeping (valid.sum == n_valid,
+    every global row id placed exactly once), byte integrity of every
+    surviving row, and full self-retrieval — on f32 AND int8 banks."""
+    from leccr_tpu.serve_ann import add_to_ivf, remove_from_ivf
+
+    feats, _, _ = corpus
+    base = ImageIndex(feats=jnp.asarray(feats[:60]), slots=None,
+                      ids=[f"item{i}" for i in range(60)])
+    drop = [f"item{i}" for i in range(0, 60, 8)]  # 8 scattered removals
+    survivors = [i for i in range(60) if f"item{i}" not in set(drop)]
+    corpus_feats = np.concatenate([feats[survivors], feats[60:64]])
+    for quantize in (False, True):
+        ivf = build_ivf_index(base, n_clusters=6, iters=8, seed=0)
+        if quantize:
+            ivf = quantize_ivf(ivf)
+        kept = remove_from_ivf(ivf, drop)
+        # prefix-occupancy invariant after remove: every cluster's
+        # valid slots are exactly [0, fill)
+        v = np.asarray(kept.valid)
+        fill = v.sum(axis=1)
+        for c in range(v.shape[0]):
+            assert v[c, :fill[c]].all() and not v[c, fill[c]:].any()
+        newi = ImageIndex(feats=jnp.asarray(feats[60:64]), slots=None,
+                          ids=[f"new{i}" for i in range(4)])
+        merged = add_to_ivf(kept, newi)
+        v = np.asarray(merged.valid)
+        rows = np.asarray(merged.rows)
+        assert int(v.sum()) == merged.n_valid == len(merged.ids) == 56
+        np.testing.assert_array_equal(np.sort(rows[v]), np.arange(56))
+        if not quantize:
+            np.testing.assert_allclose(np.asarray(merged.packed)[v],
+                                       corpus_feats[rows[v]], atol=1e-6)
+        # every survivor and every new row retrieves itself at full probe
+        s, i = _ivf_search_embedded(merged, corpus_feats, k=1,
+                                    nprobe=merged.n_clusters)
+        np.testing.assert_array_equal(i[:, 0], np.arange(56))
