@@ -43,7 +43,12 @@ def main():
     out = jax.jit(lambda q, k, v: flash_tower_attention(q, k, v, mask, 0,
                                                         0.0))(q, k, v)
     want = jax.jit(lambda q, k, v: xla_attention(q, k, v, mask))(q, k, v)
-    print("fwd maxdiff:", float(jnp.max(jnp.abs(out - want))))
+    fwd_md = float(jnp.max(jnp.abs(out - want)))
+    print("fwd maxdiff:", fwd_md)
+    # hardware parity ASSERTS (round-4 chip measurements: f32 fwd
+    # <=1.4e-4, grads <=2.2e-5 of scale; thresholds carry ~5-10x headroom
+    # so a real accumulation regression fails while fp noise passes)
+    assert fwd_md <= 7e-4, f"f32 fwd parity regressed: {fwd_md}"
 
     def loss_mine(q, k, v):
         o = flash_tower_attention(q, k, v, mask, 0, 0.0)
@@ -56,8 +61,11 @@ def main():
     g1 = jax.jit(jax.grad(loss_mine, argnums=(0, 1, 2)))(q, k, v)
     g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
     for a, bb, name in zip(g1, g2, "qkv"):
-        print(f"d{name} maxdiff:", float(jnp.max(jnp.abs(a - bb))),
-              " scale:", float(jnp.max(jnp.abs(bb))))
+        md = float(jnp.max(jnp.abs(a - bb)))
+        scale = float(jnp.max(jnp.abs(bb)))
+        print(f"d{name} maxdiff:", md, " scale:", scale)
+        assert md <= 2e-4 * max(scale, 1.0), \
+            f"f32 d{name} parity regressed: {md} vs scale {scale}"
 
     # dropout determinism on hardware PRNG
     o1 = jax.jit(lambda q: flash_tower_attention(q, k, v, mask, 7, 0.1))(q)
@@ -81,8 +89,9 @@ def main():
     ob = jax.jit(lambda q, k, v: flash_tower_attention(q, k, v, mask, 0,
                                                        0.0))(qb, kb, vb)
     wb = jax.jit(lambda q, k, v: xla_attention(q, k, v, mask))(qb, kb, vb)
-    print("bf16 chunked fwd maxdiff:",
-          float(jnp.max(jnp.abs(ob.astype(jnp.float32) - wb))))
+    bf_md = float(jnp.max(jnp.abs(ob.astype(jnp.float32) - wb)))
+    print("bf16 chunked fwd maxdiff:", bf_md)
+    assert bf_md <= 2e-3, f"bf16 chunked fwd parity regressed: {bf_md}"
     gb = jax.jit(jax.grad(
         lambda q, k, v: jnp.sum(flash_tower_attention(q, k, v, mask, 0, 0.0)
                                 .astype(jnp.float32) ** 2),
@@ -90,6 +99,27 @@ def main():
     print("bf16 chunked grads finite:",
           all(bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
               for x in gb))
+    # bf16 GRAD parity vs XLA at the 577-token production shape — the
+    # direct hardware check of the round-4 chunked-backward f32-dq
+    # accumulation fix (the CPU interpret-mode tests run f32 only;
+    # VERDICT r4 next #7).  The grads come back as bf16 tensors, so
+    # 1 ulp of legitimate rounding is ~2^-8 (4e-3) of each element's
+    # magnitude — chip-measured maxdiffs sit exactly there (dq 1.9e-6 on
+    # a 3.9e-4-scale grad).  The bug class guarded against (a low-
+    # precision dq accumulator across Lk tiles) errs at >=1e-1 of scale,
+    # so a 2e-2-of-scale + small-absolute bound separates them cleanly.
+    gb_ref = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(xla_attention(q, k, v, mask)
+                                .astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2)))(qb, kb, vb)
+    for a, r_, name in zip(gb, gb_ref, "qkv"):
+        af = a.astype(jnp.float32)
+        rf = r_.astype(jnp.float32)
+        md = float(jnp.max(jnp.abs(af - rf)))
+        scale = float(jnp.max(jnp.abs(rf)))
+        print(f"bf16 chunked d{name} maxdiff {md:.3e} scale {scale:.3e}")
+        assert md <= 2e-2 * scale + 1e-5, \
+            f"bf16 d{name} grad parity regressed: {md} vs scale {scale}"
 
     # timing: chunked vs streamed-tiled vs XLA fwd+bwd at ViT-L blocks
     bt = 32

@@ -24,9 +24,9 @@ import jax
 import reference_harness as rh
 from test_trajectory_parity import _my_config, _stack
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(rh.REFERENCE_ROOT),
-    reason="reference checkout not available")
+    reason="reference checkout not available")]
 
 
 def test_exported_checkpoint_matches_in_reference_eval(tmp_path):

@@ -9,6 +9,10 @@ the REAL trainer on the 8-device virtual CPU mesh and asserts fsdp
 training is numerically the same program as replicated training.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # real Trainer epochs on the 8-device virtual mesh
+
 import pathlib
 import sys
 

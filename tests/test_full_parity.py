@@ -9,6 +9,8 @@ pins the whole conversion + architecture stack at once."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-dim torch-oracle tower parity
 import torch
 import torch.nn.functional as F
 

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # epoch-equivalence runs on the virtual mesh
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from leccr_tpu.config import tiny_test_config

@@ -15,6 +15,10 @@ loss is invariant to joint row permutation (soft labels ride on `idx`), so
 train losses must agree up to reduction-order float noise.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # two real JAX processes + gloo
+
 import json
 import os
 import socket

@@ -1,5 +1,9 @@
 """run.py --task serve end-to-end: saved index -> HTTP service answers."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full CLI subprocess pipeline (train->index->serve)
+
 import json
 import os
 import pathlib

@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # scale composition epoch on the virtual mesh
+
 import jax
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))

@@ -24,9 +24,9 @@ from leccr_tpu.config import tiny_test_config
 LOSS_KEYS = ("loss_itc_vs", "loss_itc_vt", "loss_itc_st",
              "loss_itc_c", "loss_reg_c")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(rh.REFERENCE_ROOT),
-    reason="reference checkout not available")
+    reason="reference checkout not available")]
 
 
 @pytest.fixture(scope="module")
