@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full trainer runs against the fake HDFS CLI
+
 from leccr_tpu.utils import io as uio
 
 _SHIM = r'''#!/usr/bin/env python3

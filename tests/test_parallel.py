@@ -38,6 +38,7 @@ def test_ring_infonce_matches_global(data, model):
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_infonce_gradients_match_global():
     mesh = make_mesh(ParallelConfig(data=8, model=1))
     a, b, idx = _feats()
@@ -101,6 +102,7 @@ def test_param_partition_specs():
 
 
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.slow
 def test_ring_infonce_fused_matches_global(impl):
     """Fused ring (per-rotation blocks through the InfoNCE kernels with a
     hand-written ring VJP): values AND gradients — including d/d temp —

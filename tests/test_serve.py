@@ -129,6 +129,7 @@ def test_video_index_and_fused_search(video_embedder):
         [h[1] for h in solo[0]], np.sort(fused1[0])[::-1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_index_matches_single_device(embedder):
     """shard_index over the 8-device mesh: per-shard top-k + global merge
     returns exactly the single-device results (ids and scores), for the
@@ -228,6 +229,7 @@ def test_search_rejects_unknown_fusion(embedder):
         embedder.search_texts(["a"], None, fusion="bogus")
 
 
+@pytest.mark.slow
 def test_from_checkpoint_random_init(tmp_path):
     """Embedder.from_checkpoint with no checkpoint: random init, still
     serves end-to-end."""
@@ -269,6 +271,7 @@ def test_profiling_utils(tmp_path):
     assert s["steps"] == 2 and s["steps_per_sec"] > 0
 
 
+@pytest.mark.slow
 def test_quantized_index_matches_fp32(embedder, tmp_path):
     """int8 per-row index quantization (quantize_index): scores stay
     within quantization tolerance of fp32 on every fusion path, the

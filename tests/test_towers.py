@@ -21,6 +21,7 @@ from leccr_tpu.models.convert import (
 )
 
 
+@pytest.mark.slow
 def test_bert_matches_hf():
     from transformers import BertConfig, BertModel
 

@@ -34,6 +34,7 @@ def trainer(tmp_path_factory):
     return Trainer(cfg, devices=jax.devices()[:1])
 
 
+@pytest.mark.slow
 def test_eval_device_cache_reused_and_equal(trainer):
     """Second eval of the same split must hit the HBM-resident batch cache
     (data.cache_eval_on_device_mb) and produce identical metrics."""
@@ -71,6 +72,7 @@ def test_eval_device_cache_reused_and_equal(trainer):
         v.nbytes for b, _ in other_batches for v in b.values())
 
 
+@pytest.mark.slow
 def test_train_two_epochs_loss_decreases_and_ckpt(trainer):
     losses = []
     orig = trainer.train_epoch
@@ -101,6 +103,7 @@ def test_train_two_epochs_loss_decreases_and_ckpt(trainer):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_training_actually_learns(tmp_path):
     """A few steps on a fixed batch must reduce the total loss."""
     from leccr_tpu.train.trainer import Trainer
@@ -240,6 +243,7 @@ def test_schedule_shape():
     assert float(sched(100)) == 0.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     """The driver's multi-chip dry run: dp=4 x tp=2 mesh, ring negatives,
     one real step of the full Trainer."""
@@ -250,6 +254,7 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_video_trainer_end_to_end(tmp_path):
     """vtr_caption path: synthetic BigFile dataset -> temporal tower ->
     double-sim eval (reference video_Retrieval_caption_double_sim.py)."""
@@ -282,6 +287,7 @@ def test_video_trainer_end_to_end(tmp_path):
     assert metrics["sumr_sum"] > 0
 
 
+@pytest.mark.slow
 def test_fit_loop_and_cli_smoke(tmp_path):
     """Trainer.fit(): full epoch->eval->best-ckpt->log.txt loop, then the
     run.py CLI end-to-end on the synthetic dataset."""
@@ -332,6 +338,7 @@ def test_fit_loop_and_cli_smoke(tmp_path):
     assert len(log2) > len(log), (proc.stdout[-800:], proc.stderr[-400:])
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_device(tmp_path):
     """Eval with batches sharded over an 8-way data mesh must produce
     identical metrics to single-device eval."""
@@ -359,6 +366,7 @@ def test_sharded_eval_matches_single_device(tmp_path):
     assert m1 == m8, (m1, m8)
 
 
+@pytest.mark.slow
 def test_fused_negatives_trainer(tmp_path):
     """negatives: fused — the blockwise InfoNCE (XLA path on CPU) drives the
     train step end-to-end."""
@@ -378,6 +386,7 @@ def test_fused_negatives_trainer(tmp_path):
     assert np.isfinite(float(stats["loss_itc_vs"]))
 
 
+@pytest.mark.slow
 def test_ring_fused_negatives_trainer(tmp_path):
     """negatives: ring_fused — the Pallas-block ring InfoNCE (XLA block path
     on CPU) drives the jitted train step over an 8-way data mesh."""
@@ -397,6 +406,7 @@ def test_ring_fused_negatives_trainer(tmp_path):
     assert np.isfinite(float(stats["loss_itc_vs"]))
 
 
+@pytest.mark.slow
 def test_resume_continues_training(tmp_path):
     """Preemption recovery: train 2 epochs (with mid-epoch step snapshots),
     then construct a fresh Trainer with resume=True and a longer schedule —
@@ -437,6 +447,7 @@ def test_resume_continues_training(tmp_path):
     assert len(log) >= 3
 
 
+@pytest.mark.slow
 def test_resume_mid_epoch_exact(tmp_path):
     """Resuming from a MID-epoch snapshot continues at the exact batch
     position: no epoch replay, the optimizer's internal schedule count and
@@ -488,6 +499,7 @@ def test_resume_mid_epoch_exact(tmp_path):
     assert tr2.state.step == 2 * spe
 
 
+@pytest.mark.slow
 def test_resume_on_different_mesh_size(tmp_path):
     """Elastic recovery beyond the reference (SURVEY.md §5: reference has a
     fixed world size — `utils/__init__.py:306-328` — and any change of GPU
@@ -600,6 +612,7 @@ def test_best_checkpoint_survives_rotation(tmp_path):
     assert info["step"] == 1 and info["metrics"]["sumr_sum"] == 9.0
 
 
+@pytest.mark.slow
 def test_ema_tracks_and_checkpoints(tmp_path):
     """train.ema_decay: the step advances an exact EMA of the params
     (verified against the recurrence), eval runs on the EMA weights,

@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # video trainer epochs on the 8-device virtual mesh
+
 import jax
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))

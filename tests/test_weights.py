@@ -346,6 +346,7 @@ def test_export_reference_roundtrip_video(tmp_path):
         jax.tree.map(np.asarray, params), new)
 
 
+@pytest.mark.slow
 def test_run_export_cli(tmp_path):
     """run.py --task export emits a torch-loadable reference-format .pth."""
     import os
