@@ -42,6 +42,11 @@ def main():
     cfg.model.vision.fused_attention = True
     if "--bf16-moments" in sys.argv:
         cfg.train.optimizer.moment_dtype = "bfloat16"
+    if "--ema" in sys.argv:
+        # A/B harness for the ema_decay default: eval + best-gating run
+        # on the EMA weights (train.ema_eval), so held-out sumR compares
+        # EMA quality directly against the raw-params baseline (--ema 0)
+        cfg.train.ema_decay = float(sys.argv[sys.argv.index("--ema") + 1])
     cfg.data.dataset = "synthetic"
     cfg.data.synthetic_learnable = True
     cfg.data.synthetic_size = 64

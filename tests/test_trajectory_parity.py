@@ -162,6 +162,13 @@ def test_loss_trajectory_matches_reference(ref_results, my_results):
     np.testing.assert_allclose(losses[0], ref[0], atol=3e-4)
 
     env = np.abs(np.asarray(data["losses_perturbed"]) - ref).max(axis=1)
+    # PIN the envelope itself (VERDICT r4 #5): tol derives from a
+    # perturbed-init reference rerun at test time, so without a ceiling
+    # a harness regression could widen the envelope and parity would
+    # still "pass".  Calibrated on this host round 5: max per-step env
+    # 2.2e-4; the cap carries ~8-9x drift headroom, and AT the cap the
+    # derived 40x tolerance is still <=10% of the ~4.0 loss scale.
+    assert env.max() <= 2e-3, f"chaos envelope widened: {env}"
     tol = np.maximum(3e-4, 40.0 * env)
     diff = np.abs(losses - ref).max(axis=1)
     assert (diff <= tol).all(), (
