@@ -34,7 +34,11 @@ def parse_args():
     p.add_argument("--task", default="itr_caption",
                    choices=["itr_caption", "vtr_caption", "serve",
                             "build_index", "update_index", "export"])
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default="",
+                   help="config yaml/json; optional for the training "
+                        "tasks, which fall back to a per-task default "
+                        "(the analog of the reference's --model default-"
+                        "config resolution, run.py:125)")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", default="",
                    help="initial params checkpoint (orbax dir or torch file)")
@@ -337,6 +341,17 @@ def main():
     from leccr_tpu.config import load_config
 
     config_path = args.config
+    if not config_path:
+        # per-task default configs (reference run.py:125 falls back to
+        # f"configs/{args.model}/Retrieval_coco.yaml" when --config is
+        # missing; our live tasks get the flagship recipe per family)
+        defaults = {"itr_caption": "configs/multi30k_fr.yaml",
+                    "vtr_caption": "configs/msrvtt.yaml"}
+        if args.task not in defaults:
+            raise SystemExit(f"--config is required for --task {args.task}")
+        config_path = str(Path(__file__).parent / defaults[args.task])
+        print(f"### no --config given; using the {args.task} default: "
+              f"{config_path}")
     if config_path.startswith("hdfs://"):
         # stage remote config locally before parsing (reference
         # run.py:180-189 hdfs-fetches config/checkpoint up front)

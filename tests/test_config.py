@@ -41,3 +41,20 @@ def test_tiny_config_overrides():
     cfg = tiny_test_config(**{"model.embed_dim": 48, "train.seed": 7})
     assert cfg.model.embed_dim == 48
     assert cfg.train.seed == 7
+
+
+def test_run_cli_config_optional_for_training_tasks():
+    """--config falls back to a per-task default for the training tasks
+    (the reference's --model default-config resolution, run.py:125) and
+    stays required for the serving/index tasks."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, "run.py", "--task", "serve",
+         "--output_dir", "/tmp/x"],
+        cwd=str(repo), capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0
+    assert "--config is required for --task serve" in (r.stderr + r.stdout)
