@@ -48,6 +48,19 @@ class FeatureBank:
     def read_one(self, name: str) -> np.ndarray:
         return np.asarray(self._mat[self.name2index[name]])
 
+    def iter_rows(self, block_rows: int = 4096):
+        """Sequential (name, row) stream over the whole bank — the
+        reference's StreamFile (utils/bigfile.py:66-105), which walks
+        feature.bin front to back for bank-building/export jobs.  Here
+        it rides the same memmap in block-sized slices, so the OS
+        readahead streams the file once instead of the reference's
+        per-row array.fromfile() calls; each yielded row is a copy (safe
+        to hold past the next iteration)."""
+        for start in range(0, self.num_rows, block_rows):
+            block = np.array(self._mat[start: start + block_rows])
+            for off in range(block.shape[0]):
+                yield self.names[start + off], block[off]
+
     def read_video(
         self, frame_names: Sequence[str], max_frames: int
     ) -> Tuple[np.ndarray, np.ndarray]:

@@ -74,6 +74,11 @@ def test_feature_bank_roundtrip(tmp_path):
     assert mask2.all()
     np.testing.assert_array_equal(frames2[0], mat[0])
     np.testing.assert_array_equal(frames2[-1], mat[6])
+    # sequential stream (reference StreamFile, utils/bigfile.py:66-105):
+    # full pass in file order, block boundary exercised
+    streamed = list(bank.iter_rows(block_rows=3))
+    assert [n for n, _ in streamed] == names
+    np.testing.assert_array_equal(np.stack([r for _, r in streamed]), mat)
 
 
 def test_shard_indices_cover_and_disjoint():
