@@ -510,7 +510,7 @@ def main():
     }
     dog = _PhaseWatchdog(record)
 
-    dog.phase("eval", _phase_timeout("eval", 600.0))
+    dog.phase("eval", _phase_timeout("eval", 900.0))
     t_e2e, t_jax = jax_eval_time(quick=args.quick)
     if args.quick:
         # measured a 1/10 slice: extrapolate txt+img linearly
@@ -529,7 +529,7 @@ def main():
 
     train_bs = train_dt = None
     if not args.skip_train:
-        dog.phase("train", _phase_timeout("train", 600.0))
+        dog.phase("train", _phase_timeout("train", 720.0))
         try:
             train_bs, train_dt = jax_train_time(quick=args.quick)
         except Exception as exc:  # noqa: BLE001
