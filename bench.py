@@ -133,6 +133,8 @@ def _enable_compile_cache() -> None:
 
 
 def jax_eval_time(quick: bool = False) -> float:
+    if os.environ.get("LECCR_BENCH_SIMULATE_FAIL") == "eval":
+        raise RuntimeError("simulated eval failure (test knob)")
     import jax
 
     _enable_compile_cache()
@@ -511,21 +513,30 @@ def main():
     dog = _PhaseWatchdog(record)
 
     dog.phase("eval", _phase_timeout("eval", 900.0))
-    t_e2e, t_jax = jax_eval_time(quick=args.quick)
-    if args.quick:
-        # measured a 1/10 slice: extrapolate txt+img linearly
-        t_e2e, t_jax = t_e2e * 10.0, t_jax * 10.0
-    pairs_per_s = (N_IMG * N_TXT) / t_jax
-    eval_rec = {
-        "metric": "multi30k_full_eval_pairs_per_sec_per_chip",
-        "value": round(pairs_per_s, 1),
-        "unit": f"img-txt pairs/s steady-state (per-epoch eval wall "
-                f"{t_jax:.2f}s with the eval set HBM-resident as the "
-                f"trainer keeps it; {t_e2e:.2f}s end-to-end incl. the "
-                f"one-time upload; {N_IMG}x{N_TXT})",
-        "vs_baseline": 0.0,
-    }
-    record["eval"] = eval_rec
+    eval_rec = t_jax = None
+    try:
+        t_e2e, t_jax = jax_eval_time(quick=args.quick)
+    except Exception as exc:  # noqa: BLE001 — a failed leg must still
+        # leave ONE parseable line, not a bare traceback (the round-3
+        # artifact failure mode); the train leg may still succeed
+        print(f"eval timing failed: {exc}", file=sys.stderr)
+        record["error"] = "eval_failed"
+        record["detail"] = repr(exc)[:500]
+    if t_jax is not None:
+        if args.quick:
+            # measured a 1/10 slice: extrapolate txt+img linearly
+            t_e2e, t_jax = t_e2e * 10.0, t_jax * 10.0
+        pairs_per_s = (N_IMG * N_TXT) / t_jax
+        eval_rec = {
+            "metric": "multi30k_full_eval_pairs_per_sec_per_chip",
+            "value": round(pairs_per_s, 1),
+            "unit": f"img-txt pairs/s steady-state (per-epoch eval wall "
+                    f"{t_jax:.2f}s with the eval set HBM-resident as the "
+                    f"trainer keeps it; {t_e2e:.2f}s end-to-end incl. the "
+                    f"one-time upload; {N_IMG}x{N_TXT})",
+            "vs_baseline": 0.0,
+        }
+        record["eval"] = eval_rec
 
     train_bs = train_dt = None
     if not args.skip_train:
@@ -552,7 +563,7 @@ def main():
             t_base = torch_baseline_time()
         except Exception as exc:  # noqa: BLE001
             print(f"baseline failed: {exc}", file=sys.stderr)
-        if t_base:
+        if t_base and eval_rec is not None:
             eval_rec["vs_baseline"] = round(t_base / t_jax, 2)
         if train_dt is not None:
             try:
@@ -567,7 +578,7 @@ def main():
     # ONE JSON line.  Primary metric = BASELINE.json's first tracked metric
     # (train image-text pairs/sec/chip); the eval headline rides along in
     # `eval` so both numbers land in BENCH_r*.json.
-    if train_dt is None and args.skip_train:
+    if train_dt is None and args.skip_train and eval_rec is not None:
         print(json.dumps(eval_rec))
         return
     print(json.dumps(record))

@@ -64,3 +64,22 @@ def test_bench_cli_stall_knob_bounded():
     assert rec["error"] == "tpu_stalled"
     assert rec["metric"] == "train_pairs_per_sec_per_chip"
     assert "eval" in rec["detail"]
+
+
+def test_bench_eval_exception_still_emits_one_line():
+    """A leg that RAISES (OOM, transient dispatch error) must also leave
+    one parseable record — the round-3 artifact shipped a bare traceback
+    (rc=1, parsed=null) for exactly this case."""
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "LECCR_BENCH_SIMULATE_FAIL": "eval",
+    })
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--quick", "--skip-train",
+         "--skip-baseline"],
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=110)
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "eval_failed"
+    assert "simulated eval failure" in rec["detail"]
+    assert rec["metric"] == "train_pairs_per_sec_per_chip"
